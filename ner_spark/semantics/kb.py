@@ -1,0 +1,434 @@
+"""Knowledge-base model: accessors, static scores, subnames, namelist.
+
+Brand-new code reproducing the reference's KB semantics:
+
+  - accessor surface mirrors /root/reference/ner/ner_knowledge_base.py
+    (get_ent_type:289-294, get_data_for:206-214, get_score:323-343,
+    get_dates:297-303, get_nationalities:310-320, people_named:346-351);
+  - ``get_ent_type`` returns a plain STRING and every type test in the
+    pipeline is a substring test (SURVEY §1.4.1) — e.g. 'geo' matches
+    'geographical';
+  - static scores follow metrics_knowledge_base.py:330-387 exactly
+    (per-type-set max normalization, 0.25·max cap for backlinks/hits,
+    weighted averages 5:5:1 and 5:1, "%.2f" rounding);
+  - subname dictionary per ner_knowledge_base.initName_dict:132-177 with
+    the EN subset of persons.get_normalized_subnames
+    (libs/entities/persons.py:53-198);
+  - namelist build per KB2namelist.py:824-886,1028-1043 (surname keys gated
+    by CONFIDENCE ≥ 20 / ≥ 15 for artist|fictional, org/event capitalization
+    variants) and uniq_namelist.py:44-107 (merge, confidence-descending id
+    order, trailing 'N'); key suitability per namelist.py:968-1015 taking the
+    ``derived_names`` branch of the unresolved merge conflict (SURVEY §1.4.5).
+
+The bundle is a plain picklable object: the Spark pipeline broadcasts ONE
+copy per executor — the idiomatic replacement for the reference's POSIX
+shared-memory KB daemon (ner/kb_daemon.py:30-61, SURVEY S5).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Iterable, Sequence
+
+from .textnorm import remove_accent
+
+MULTIVAL = "|"  # KB_MULTIVALUE_DELIM (ner/configs.py:14)
+
+# EN pronoun table (libs/lang_modules/en/word_types.py:10-26)
+PRONOUNS = {
+    "he": "M", "him": "M", "himself": "M", "his": "M",
+    "she": "F", "her": "F", "hers": "F", "herself": "F",
+    "who": "MF", "whom": "MF", "whose": "MF",
+    "here": "L", "there": "L", "where": "L",
+}
+PROPER_NOUNS_PREPS = {"the", "upon"}
+VERBS = {" was ", " were ", " is "}
+
+# Columns of the flat synthetic KB (SURVEY §1.3 minimal schema).  Multivalue
+# columns hold '|'-joined strings exactly like KB.tsv.
+KB_COLUMNS = [
+    "id", "type", "name", "aliases", "redirects", "gender",
+    "date_of_birth", "date_of_death", "nationalities", "country",
+    "jobs", "roles", "location", "founded", "cancelled", "start", "end",
+    "fictional", "description", "wikipedia_url",
+    "wiki_backlinks", "wiki_hits", "wiki_ps",
+]
+# reference column names → our flat columns (get_data_for aliasing)
+_COLMAP = {
+    "NAME": "name", "ALIASES": "aliases", "REDIRECTS": "redirects",
+    "GENDER": "gender", "DATE OF BIRTH": "date_of_birth",
+    "DATE OF DEATH": "date_of_death", "NATIONALITIES": "nationalities",
+    "COUNTRY": "country", "JOBS": "jobs", "ROLES": "roles",
+    "LOCATION": "location", "FOUNDED": "founded", "CANCELLED": "cancelled",
+    "START": "start", "END": "end", "FICTIONAL": "fictional",
+    "DESCRIPTION": "description", "WIKIPEDIA URL": "wikipedia_url",
+    "WIKI BACKLINKS": "wiki_backlinks", "WIKI HITS": "wiki_hits",
+    "WIKI PRIMARY SENSE": "wiki_ps",
+}
+
+_SURNAME_RE = re.compile(  # KB2namelist.py:78-80 (\p{Lu}\p{Ll} → ASCII-ish + latin1)
+    r"(((?<=^)|(?<= ))(?:(?:da|von)(?:#[^ ]+)? )?"
+    r"((?:[A-ZÀ-Þ][a-zß-ÿ]*(?:#[^- ]+)?-)?"
+    r"(?:[A-ZÀ-Þ][a-zß-ÿ]+(?:#[^- ]+)?))$)"
+)
+_NTYPE_RE = re.compile(r"#ntype=([^#|]*)")
+_FLAG_STRIP_RE = re.compile(r"#(?:ntype|lang)=[^#|]*")
+
+NAME_PREPOSITIONS = [  # persons.py:22-28
+    "van der", "van", "von", "zu", "de", "du", "da", "di",
+    "dalla", "del", "dos", "el", "la", "le", "ben", "bin", "y",
+]
+NAME_PREFIXES = ["d'", "o'"]  # persons.py:30
+LOCATION_PREPOSITIONS = ["of"]  # persons.py:41-42 (EN default)
+
+_PREP_ALT = "|".join(
+    "[%s%s]%s" % (p[0].upper(), p[0], re.escape(p[1:])) for p in NAME_PREPOSITIONS
+)
+_PREFIX_ALT = "|".join(
+    "[%s%s]%s" % (p[0].upper(), p[0], re.escape(p[1:])) for p in NAME_PREFIXES
+)
+_RE_PREP_REMOVE = re.compile(r" (?:%s) " % _PREP_ALT)
+_RE_PREP_NAME = re.compile(r"(?:^| )(?:%s) [A-ZÀ-Þ]\w+" % _PREP_ALT)
+_RE_PREFIX_CHECK = re.compile(r"^(?:%s)[A-ZÀ-Þ]" % _PREFIX_ALT)
+_RE_PREFIX_ONLY = re.compile(r"^(?:%s)" % _PREFIX_ALT)
+_STR_LOC_REMOVE = r" (?:%s) .*" % "|".join(map(re.escape, LOCATION_PREPOSITIONS))
+_RE_LOC_REMOVE = re.compile(_STR_LOC_REMOVE)
+_RE_SUBNAME_LOC = re.compile(r"([^ ]+" + _STR_LOC_REMOVE + r")")
+_RE_NICE_NAME = re.compile(
+    r"^( ?(?:%s)?[A-ZÀ-Þ]([^\W\d_]+)?(['-][A-ZÀ-Þ][^\W\d_]+)*)+(?:%s)?$"
+    % (_PREFIX_ALT, _STR_LOC_REMOVE)
+)
+
+
+def get_normalized_subnames(src_names: Iterable[str], separate_to_names: bool = True) -> set[str]:
+    """EN subset of persons.get_normalized_subnames (persons.py:53-198):
+    split names into parts (prepositions removed), keep location-suffixed
+    part, capitalize, validate against the "nice name" regex, expand
+    d'/o' prefix variants."""
+    names: set[str] = set()
+    for name in src_names:
+        name = _FLAG_STRIP_RE.sub("", name)
+        name = re.sub(r"\s+", " ", name).strip()
+        if not name:
+            continue
+        name_with_location = name
+        sub_loc = _RE_SUBNAME_LOC.search(name)
+        sub_loc = sub_loc.group() if sub_loc else None
+        name = _RE_LOC_REMOVE.sub("", name)
+
+        if separate_to_names:
+            subnames = set(_RE_PREP_REMOVE.sub(" ", name).split())
+            if sub_loc and sub_loc != name_with_location:
+                subnames.add(sub_loc)
+        else:  # pragma: no cover - pipeline always separates
+            subnames = {name, name_with_location}
+
+        for subname in subnames:
+            if len(subname) <= 1:
+                continue
+            if subname.endswith(","):
+                subname = subname[:-1]
+            if separate_to_names or len(subname.split(" ")) == 1:
+                subname = subname[0].upper() + subname[1:]
+            if _RE_NICE_NAME.match(subname):
+                names.add(subname)
+                if _RE_PREFIX_CHECK.match(subname):
+                    if not subname[0].islower():
+                        names.add(subname[0].lower() + subname[1:])
+                    nonprefix = _RE_PREFIX_ONLY.sub("", subname)
+                    names.add(nonprefix.capitalize())
+
+        prep_name = _RE_PREP_NAME.search(name)
+        if prep_name:
+            subname = prep_name.group().lstrip().title()
+            names.add(subname)
+            if not subname[0].islower():
+                names.add(subname[0].lower() + subname[1:])
+    return names
+
+
+def parse_aliases_with_ntypes(name: str, aliases: str) -> dict[str, str | None]:
+    """KB2namelist.get_KB_names_ntypes_for (KB2namelist.py:371-392):
+    NAME first, then aliases with #lang stripped and #ntype extracted."""
+    names: dict[str, str | None] = {name: None}
+    str_aliases = re.sub(r"#lang=[^#|]*", "", aliases or "")
+    for alias in str_aliases.split(MULTIVAL):
+        m = _NTYPE_RE.search(alias)
+        ntype = m.group(1) or None if m else None
+        k = _NTYPE_RE.sub("", alias).strip()
+        if k and k not in names:
+            names[k] = ntype
+    return names
+
+
+@dataclass
+class KBBundle:
+    """Columnar, broadcast-able KB snapshot (1-based ids; index 0 unused)."""
+
+    cols: dict[str, list]  # column name → list indexed by id
+    name_dict: dict[str, frozenset[int]] = field(default_factory=dict)
+    nationality_forms: frozenset[str] = frozenset()
+
+    # -- reference accessor surface ------------------------------------
+    def n_rows(self) -> int:
+        return len(self.cols["name"]) - 1
+
+    def get_ent_type(self, line: int) -> str:
+        """Type path STRING; all callers do substring tests (SURVEY §1.4.1)."""
+        if line is None or not (1 <= line <= self.n_rows()):
+            return ""
+        return self.cols["type"][line]
+
+    def get_data_for(self, line: int, col_name: str, separator: str | None = None):
+        col = _COLMAP.get(col_name)
+        data = "" if col is None else str(self.cols[col][line] or "")
+        if separator:
+            return data.split(separator) if data else []
+        return data
+
+    def get_score(self, line: int) -> float:
+        try:
+            return float(self.cols["confidence"][line])
+        except (ValueError, TypeError, KeyError, IndexError):
+            return 0.0
+
+    def get_dates(self, line: int) -> set[str]:
+        if "person" in self.get_ent_type(line):
+            d = {self.get_data_for(line, "DATE OF BIRTH"),
+                 self.get_data_for(line, "DATE OF DEATH")}
+            d.discard("")
+            return d
+        return set()
+
+    def get_nationalities(self, line: int) -> set[str]:
+        t = self.get_ent_type(line)
+        nation: list[str] = []
+        if "nationality" in t:
+            nation = self.get_data_for(line, "ALIASES", separator=MULTIVAL)
+            nation.append(self.get_data_for(line, "NAME"))
+            nation.append(self.get_data_for(line, "COUNTRY"))
+        elif "person" in t:
+            nation = self.get_data_for(line, "NATIONALITIES", separator=MULTIVAL)
+        return {n.lower() for n in nation if n != ""}
+
+    def people_named(self, subname: str) -> frozenset[int]:
+        return self.name_dict.get(subname, frozenset())
+
+    # -- construction ----------------------------------------------------
+    @classmethod
+    def from_rows(cls, rows: Sequence[dict]) -> "KBBundle":
+        """rows: dicts with KB_COLUMNS keys (id = 1-based line number).
+        Computes static scores, the subname dict and the nationality forms."""
+        n = len(rows)
+        cols: dict[str, list] = {c: [None] * (n + 1) for c in KB_COLUMNS}
+        cols["confidence"] = [None] * (n + 1)
+        cols["score_wiki"] = [None] * (n + 1)
+        cols["score_metrics"] = [None] * (n + 1)
+        for r in rows:
+            i = int(r["id"])
+            for c in KB_COLUMNS:
+                cols[c][i] = r.get(c, "") if r.get(c) is not None else ""
+        bundle = cls(cols=cols)
+        compute_static_scores(bundle)
+        bundle.name_dict = build_name_dict(bundle)
+        bundle.nationality_forms = frozenset(collect_nationality_forms(bundle))
+        return bundle
+
+
+def _norm_cap(value: float, mx: float) -> float:
+    if not mx:
+        return 1.0
+    return min(value / mx, 1.0)
+
+
+def compute_static_scores(kb: KBBundle) -> None:
+    """SCORE WIKI / SCORE METRICS / CONFIDENCE per
+    metrics_knowledge_base.py:330-387.  Metrics are normalized by the max of
+    the entity's type-set group; backlinks/hits by 0.25·max (capped at 1);
+    results rounded to 2 decimals like the reference's "%.2f" storage."""
+    n = kb.n_rows()
+    groups: dict[str, dict[str, list[float]]] = {}
+    desc_len = [0.0] * (n + 1)
+    ncols = [0.0] * (n + 1)
+    for i in range(1, n + 1):
+        t = kb.get_ent_type(i)
+        g = groups.setdefault(t, {})
+        desc_len[i] = float(len(kb.get_data_for(i, "DESCRIPTION")))
+        ncols[i] = float(
+            sum(1 for c in KB_COLUMNS if c != "id" and str(kb.cols[c][i] or "") != "")
+        )
+        g.setdefault("columns_number", []).append(ncols[i])
+        g.setdefault("description_length", []).append(desc_len[i])
+        if str(kb.cols["wiki_backlinks"][i] or "") != "":
+            g.setdefault("wiki_backlinks", []).append(float(kb.cols["wiki_backlinks"][i]))
+            g.setdefault("wiki_hits", []).append(float(kb.cols["wiki_hits"][i]))
+            g.setdefault("wiki_ps", []).append(float(kb.cols["wiki_ps"][i]))
+    maxima = {
+        t: {m: max(vals) if vals else 0.0 for m, vals in ms.items()}
+        for t, ms in groups.items()
+    }
+    for i in range(1, n + 1):
+        t = kb.get_ent_type(i)
+        mx = maxima[t]
+        score_wiki = 0.0
+        if str(kb.cols["wiki_backlinks"][i] or "") != "":
+            bl = _norm_cap(float(kb.cols["wiki_backlinks"][i]), 0.25 * mx.get("wiki_backlinks", 0.0))
+            ht = _norm_cap(float(kb.cols["wiki_hits"][i]), 0.25 * mx.get("wiki_hits", 0.0))
+            ps = _norm_cap(float(kb.cols["wiki_ps"][i]), mx.get("wiki_ps", 0.0))
+            score_wiki = 100.0 * (5 * bl + 5 * ht + 1 * ps) / 11.0
+        dl = _norm_cap(desc_len[i], mx.get("description_length", 0.0))
+        cn = _norm_cap(ncols[i], mx.get("columns_number", 0.0))
+        score_metrics = 100.0 * (dl + cn) / 2.0
+        confidence = (5 * score_wiki + 1 * score_metrics) / 6.0
+        kb.cols["score_wiki"][i] = round(score_wiki, 2)
+        kb.cols["score_metrics"][i] = round(score_metrics, 2)
+        kb.cols["confidence"][i] = round(confidence, 2)
+
+
+def build_name_dict(kb: KBBundle) -> dict[str, frozenset[int]]:
+    """Subname → person KB lines (ner_knowledge_base.initName_dict:132-177):
+    NAME + ALIASES through get_normalized_subnames, then deaccent+lower."""
+    out: dict[str, set[int]] = {}
+    for i in range(1, kb.n_rows() + 1):
+        if "person" not in kb.get_ent_type(i):
+            continue
+        whole = kb.get_data_for(i, "ALIASES", separator=MULTIVAL)
+        whole.append(kb.get_data_for(i, "NAME"))
+        for nm in get_normalized_subnames(whole, separate_to_names=True):
+            key = remove_accent(nm).lower()
+            out.setdefault(key, set()).add(i)
+    return {k: frozenset(v) for k, v in out.items()}
+
+
+def collect_nationality_forms(kb: KBBundle) -> set[str]:
+    """Surface forms that mark a senseless mention as a nationality
+    (entity.py:80-83 via NatLoader; forms come from the KB's nationality
+    rows: NAME + ALIASES, original capitalization)."""
+    forms: set[str] = set()
+    for i in range(1, kb.n_rows() + 1):
+        if "nationality" in kb.get_ent_type(i):
+            forms.add(kb.get_data_for(i, "NAME"))
+            forms.update(a for a in kb.get_data_for(i, "ALIASES", separator=MULTIVAL) if a)
+    return forms
+
+
+# ---------------------------------------------------------------------------
+# namelist build (KB compile job, SURVEY §3.3 / M1)
+# ---------------------------------------------------------------------------
+
+_UNSUITABLE_CHARS = ';?!()[]{}<>/~@#$%^&*_=+|"\\'
+
+
+def is_unsuitable_key(key: str, type_str: str) -> bool:
+    """namelist.py:968-1015 (derived_names branch, SURVEY §1.4.5)."""
+    for x in _UNSUITABLE_CHARS:
+        if x in key:
+            return True
+    if re.findall(r"[0-9]+", key):
+        if re.findall(r"^[0-9 ]+$", key):
+            return True
+        if "person" in type_str:
+            if not re.findall(r"[0-9]+(st|nd|rd|th)", key):
+                return True
+        elif "geographical" in type_str:
+            return True
+    if re.match(r"^[a-zß-ÿ]", key):
+        if "event" in type_str or "geographical" in type_str:
+            if " " not in key:
+                return True
+        elif "person" in type_str and " " in key:
+            return True
+        elif not ("person" in type_str):
+            return True
+        elif " " not in key:
+            return True
+    if len(key) < 2 or len(key) > 80:
+        return True
+    return False
+
+
+def build_namelist(
+    kb: KBBundle,
+    stop_list: set[str] | None = None,
+    filter_keys: bool = True,
+    add_pronouns: bool = True,
+    add_subname_fragments: bool = True,
+) -> dict[str, list[int]]:
+    """Key → ordered KB ids (+ trailing 0 for the 'N' fragment marker).
+
+    Reproduces KB2namelist.py:824-886 (entry generation), namelist key
+    filtering, and uniq_namelist.py:44-107 (merge + confidence-descending
+    order with deterministic id tie-break, SURVEY §1.4.4).
+    """
+    stop_list = stop_list or set()
+    keys: dict[str, set[int]] = {}
+    frag: set[str] = set()
+
+    def add(key: str, line: int, type_str: str) -> None:
+        key = re.sub(r"\s+", " ", key).strip()
+        if not key:
+            return
+        if filter_keys and is_unsuitable_key(key, type_str):
+            return
+        keys.setdefault(key, set()).add(line)
+
+    for i in range(1, kb.n_rows() + 1):
+        t = kb.get_ent_type(i)
+        name = kb.get_data_for(i, "NAME")
+        aliases = parse_aliases_with_ntypes(name, kb.get_data_for(i, "ALIASES"))
+        if "person" in t:
+            threshold = 15 if ("artist" in t or kb.get_data_for(i, "FICTIONAL") == "1") else 20
+            for alias, _nt in aliases.items():
+                add(alias, i, t)
+            conf = kb.get_score(i)
+            if conf >= threshold:
+                m = _SURNAME_RE.search(name)
+                if m:
+                    surname = m.group(0)
+                    if surname != name:
+                        add(surname, i, t)
+            if add_subname_fragments:
+                # EN flow: subnames straight from KB names (namelist.py:918-929,
+                # KB2namelist.py:531-534); nicknames (#ntype=nick) excluded
+                # (namelist.py:541)
+                whole = [a for a, nt in aliases.items() if nt not in ("nick", "pseudo")]
+                for sub in get_normalized_subnames(whole, separate_to_names=True):
+                    frag.add(re.sub(r"\s+", " ", sub).strip())
+        else:
+            for alias, _nt in aliases.items():
+                variants = [alias]
+                if "event" in t and len(alias) > 1:
+                    variants = [alias[0].upper() + alias[1:], alias[0].lower() + alias[1:]]
+                elif "organi" in t:  # organisation/organization both spellings
+                    variants = [
+                        alias,
+                        " ".join(w[0].upper() + w[1:] if len(w) > 1 else w for w in alias.split()),
+                    ]
+                for v in variants:
+                    add(v, i, t)
+
+    conf_of = {i: kb.get_score(i) for i in range(1, kb.n_rows() + 1)}
+    out: dict[str, list[int]] = {}
+    for key, ids in keys.items():
+        ordered = sorted(ids, key=lambda i: (-conf_of[i], i))
+        if key in stop_list:
+            continue
+        out[key] = ordered
+    # fragment keys: 'N' marker → id 0 (uniq_namelist.py:104-107); a key that
+    # is both a real surface and a fragment keeps ids + trailing 0
+    for f in frag:
+        if not f or (filter_keys and (len(f) < 2 or len(f) > 80)):
+            continue
+        if f in stop_list:
+            out[f] = [0]
+        elif f in out:
+            if out[f][-1] != 0:
+                out[f] = out[f] + [0]
+        else:
+            out[f] = [0]
+    if add_pronouns:
+        for p in PRONOUNS:
+            out.setdefault(p, [0])
+            out.setdefault(p.capitalize(), [0])
+    return out

@@ -1,0 +1,29 @@
+"""Single-document oracle: the reference's ``recognize`` end-to-end.
+
+This is the ground truth the Spark pipeline is parity-tested against
+(SURVEY §5.1): sanitize (ner.py:611) → automaton scan (ner.py:446-482) →
+per-document resolution stages b-k (ner.py:576-714).  Slow by design —
+test/oracle use only; the pipeline runs the same semantics modules inside
+Arrow-batched UDFs.
+"""
+
+from __future__ import annotations
+
+from .automaton import GazetteerAutomaton
+from .kb import KBBundle
+from .resolve import resolve_document
+from .textnorm import sanitize
+
+
+def recognize(
+    kb: KBBundle,
+    automaton: GazetteerAutomaton,
+    raw_text: str,
+    list_titles: frozenset[str] = frozenset(),
+) -> list[dict]:
+    """Returns final mention rows (see resolve_document) for one document."""
+    text = sanitize(raw_text)
+    matches = automaton.scan(text)
+    return resolve_document(
+        text, [(m.ids, m.start, m.end, m.fragment) for m in matches], kb, list_titles
+    )

@@ -1,0 +1,758 @@
+"""Per-document mention resolution: disambiguation, context, coreference.
+
+Brand-new code reproducing the observable semantics of the reference's
+per-document pipeline (/root/reference/ner.py:576-714 ``recognize`` stages
+f-j, /root/reference/ner/entity.py, /root/reference/ner/context.py), for
+English.  This module is pure Python over plain data: the Spark pipeline
+calls :func:`resolve_document` inside an Arrow-batched UDF (one call per
+document — the reference's only inherently sequential stage, SURVEY §2.5 W2),
+and the test oracle calls it directly.
+
+Deliberately reproduced reference quirks (they change outputs):
+
+  * type tests are SUBSTRING tests on the type path string
+    (ner_knowledge_base.py:289-294, SURVEY §1.4.1);
+  * ``Context`` iterates the type string CHAR BY CHAR when creating
+    per-paragraph mention-count buckets (context.py:103-140 ``for ent_type
+    in ent_type_set`` over a str) — so those buckets are keyed by single
+    characters and the only effective 'person' counts are the explicit
+    updates in entity.py:253-262;
+  * ``Context.countries`` is initialized but never populated
+    (context.py:56-58,88), so geo candidates always get context score 0;
+  * org/event scoring: entity.py:236-239 passes 'organization' (z) but
+    context.py:307-310 compares against 'organisation' (s), so organizations
+    are scored with the event START/END columns;
+  * candidate order is namelist order — confidence descending, id ascending —
+    not Python-set order (SURVEY §1.4.4); ties in score argmax go to the
+    earliest candidate (entity.py:251);
+  * ``recompute_paragraph_offset`` only walks FORWARD (context.py:165-183),
+    so a second ascending sweep over entities that starts after a first one
+    reads the last paragraph's stats until it catches up;
+  * the artist→drop-groups rule (entity.py:146-149) raises TypeError in the
+    shipped reference (str & set); we implement the intended semantics
+    (drop candidates whose type contains 'group' when any candidate is an
+    artist), as the OrderedSet variant of the same code does.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+from .dates import DateMatch, find_dates
+from .kb import MULTIVAL, PRONOUNS, PROPER_NOUNS_PREPS, VERBS, KBBundle
+from .textnorm import ncr2unicode, remove_accent_unicode
+
+_PAR_RE = re.compile(r"(\r?\n|\r)\1+")  # ner.py:156
+
+
+def offsets_of_paragraphs(text: str) -> list[int]:
+    """Paragraph start offsets (ner.py:144-157)."""
+    out = [0]
+    out.extend(m.end() for m in _PAR_RE.finditer(text))
+    return out
+
+
+def _ordered_dedup(items) -> list:
+    seen = set()
+    out = []
+    for x in items:
+        if x not in seen:
+            seen.add(x)
+            out.append(x)
+    return out
+
+
+class Mention:
+    """A detected mention (the reference's mutable Entity, entity.py:21-86)."""
+
+    __slots__ = (
+        "start", "end", "source", "senses", "partial_match_senses",
+        "candidates", "score", "static_score", "context_score",
+        "preferred_sense", "is_coreference", "is_name", "is_nationality",
+        "poorly_disambiguated", "next_to_same_type", "begin_of_paragraph",
+    )
+
+    def __init__(self, start: int, end: int, fragment: str, ids: Sequence[int]):
+        self.start = start
+        self.end = end
+        self.source = ncr2unicode(fragment)
+        # sense 0 marks pronoun/fragment (ner.py:417, entity.py:70); order
+        # kept = namelist order (confidence desc) per SURVEY §1.4.4
+        self.senses: list[int] = _ordered_dedup(s for s in ids if s != 0)
+        self.partial_match_senses: frozenset[int] = frozenset()
+        self.candidates: list[int] = []
+        self.score: list[float] = []
+        self.static_score: list[float] = []
+        self.context_score: list[float] = []
+        self.preferred_sense = None  # int | Mention | None
+        self.is_coreference = False
+        self.is_name = False
+        self.is_nationality = False
+        self.poorly_disambiguated = True
+        self.next_to_same_type = False
+        self.begin_of_paragraph: int | None = None
+
+    # entity.py:103-131
+    def set_preferred_sense(self, sense, register: "Register") -> None:
+        self.preferred_sense = sense
+        if not isinstance(sense, Mention):
+            register.insert(self, sense)
+
+    def has_preferred_sense(self) -> bool:
+        return bool(self.preferred_sense)
+
+    def get_preferred_sense(self):
+        if isinstance(self.preferred_sense, Mention):
+            return self.preferred_sense.preferred_sense
+        return self.preferred_sense
+
+    def get_preferred_entity(self) -> "Mention":
+        if not isinstance(self.preferred_sense, Mention):
+            return self
+        return self.preferred_sense
+
+    def is_person(self, kb: KBBundle) -> bool:
+        if self.is_name:
+            return True
+        if not self.is_coreference and self.senses:
+            return "person" in kb.get_ent_type(self.senses[0])
+        return False
+
+
+class Register:
+    """EntityRegister (ner/entity_register.py:6-27)."""
+
+    def __init__(self) -> None:
+        self.id2entity: dict[int | None, list[Mention]] = {}
+        self.entity2id: dict[int, int | None] = {}
+
+    def insert(self, m: Mention, sense: int | None) -> None:
+        key = id(m)
+        if key in self.entity2id:
+            old = self.entity2id[key]
+            self.id2entity[old] = [x for x in self.id2entity.get(old, []) if x is not m]
+        self.entity2id[key] = sense
+        self.id2entity.setdefault(sense, [])
+        if not any(x is m for x in self.id2entity[sense]):
+            self.id2entity[sense].append(m)
+
+
+class Context:
+    """Paragraph statistics + pronoun registers (context.py:40-342)."""
+
+    def __init__(self, entities_and_dates: list, kb: KBBundle, paragraphs: list[int],
+                 nationalities: list[Mention], text: str):
+        self.kb = kb
+        self.paragraphs = list(paragraphs)
+        self.mentions: dict[int, dict] = {}
+        self.people_in_text: set[int] = set()
+        self.people_nationalities: dict[int, list[str]] = {}
+        self.people_dates: dict[int, list[str]] = {}
+        self.people_professions: dict[int, list[str]] = {}
+        self.people_max_scores: dict[int, float] = {}
+        self.paragraph_index = 0
+        # pronoun registers (context.py:331-342)
+        self.before_last_person = None
+        self.last_person = None
+        self.last_male = None
+        self.last_female = None
+        self.last_unknown_gender = None
+        self.last_thing = None
+        self.last_location = None
+        self.before_last_male = None
+        self.before_last_female = None
+
+        bounds = self.paragraphs + [2**62]
+        ent_index = 0
+        nat_index = 0
+        for pi, par in enumerate(self.paragraphs):
+            self.mentions[par] = {}
+            self.people_nationalities[par] = []
+            self.people_dates[par] = []
+            self.people_professions[par] = []
+            nxt = bounds[pi + 1]
+            while nat_index < len(nationalities) and nationalities[nat_index].start < nxt:
+                name = nationalities[nat_index].source
+                if name not in self.people_nationalities[par]:
+                    self.people_nationalities[par].append(name)
+                nat_index += 1
+            par_text = ""
+            while ent_index < len(entities_and_dates) and entities_and_dates[ent_index].start < nxt:
+                ent = entities_and_dates[ent_index]
+                if isinstance(ent, Mention):
+                    par_text = text[par:nxt if nxt < 2**62 else len(text)]
+                    ent.begin_of_paragraph = par
+                    if not ent.poorly_disambiguated:
+                        t = kb.get_ent_type(ent.get_preferred_sense())
+                        for ch in t:  # char iteration quirk (context.py:109-111)
+                            self.mentions[par].setdefault(ch, {})
+                        last_ch = t[-1] if t else ""
+                        name = kb.get_data_for(ent.get_preferred_sense(), "NAME")
+                        if "geo" in t:
+                            bucket = self.mentions[par].setdefault(last_ch, {})
+                            bucket[name] = bucket.get(name, 0) + 1
+                            country = kb.get_data_for(ent.get_preferred_sense(), "COUNTRY")
+                            if country:
+                                bucket[country] = bucket.get(country, 0) + 1
+                            # context.py:126 also bumps country_sum; it is
+                            # never read (countries{} never populated) — no-op
+                        else:
+                            bucket = self.mentions[par].setdefault(last_ch, {})
+                            bucket[name] = bucket.get(name, 0) + 1
+                    elif ent.has_preferred_sense():
+                        for c in ent.candidates:
+                            if "person" in kb.get_ent_type(c):
+                                profs = kb.get_data_for(c, "ROLES")
+                                if profs:
+                                    for p in profs.split(MULTIVAL):
+                                        if par_text.find(p) != -1 and p not in self.people_professions[par]:
+                                            self.people_professions[par].append(p)
+                elif isinstance(ent, DateMatch):
+                    self.people_dates[par].append(ent.iso.show_without_zeros())
+                ent_index += 1
+
+    # context.py:165-183 — forward-only walk (quirk, see module docstring)
+    def recompute_paragraph_offset(self, start: int) -> None:
+        if self.paragraph_index + 1 >= len(self.paragraphs):
+            return
+        if self.paragraphs[self.paragraph_index] <= start < self.paragraphs[self.paragraph_index + 1]:
+            return
+        pi = self.paragraph_index
+        while pi + 1 < len(self.paragraphs) and self.paragraphs[pi + 1] <= start:
+            pi += 1
+        self.paragraph_index = pi
+
+    # context.py:185-207
+    def update(self, entity: Mention) -> None:
+        t = self.kb.get_ent_type(entity.get_preferred_sense())
+        if "person" in t:
+            self.before_last_person = self.last_person
+            self.last_person = entity
+            gender = self.kb.get_data_for(entity.get_preferred_sense(), "GENDER")
+            if gender == "M":
+                self.last_male = entity
+                self.last_unknown_gender = None
+            elif gender == "F":
+                self.last_female = entity
+                self.last_unknown_gender = None
+            else:
+                self.last_unknown_gender = entity
+        elif "location" in t:
+            self.last_location = entity
+        else:
+            self.last_thing = entity
+
+    # context.py:209-224
+    def mentioned_in_par(self, candidates: list[str], field: str) -> float:
+        par = self.paragraphs[self.paragraph_index]
+        score = 0.0
+        bucket = self.mentions[par].get(field)
+        if bucket:
+            for c in candidates:
+                if c in bucket:
+                    score = bucket[c]
+                    break
+            if score:
+                score = score * 100.0 / sum(bucket.values())
+        return score
+
+    # context.py:227-283
+    def person_percentile(self, candidate: int) -> float:
+        par = self.paragraphs[self.paragraph_index]
+        nat_score = 0.0
+        person_nats = self.kb.get_nationalities(candidate)
+        for nat in self.people_nationalities[par]:
+            if nat in person_nats:
+                nat_score += 1
+        if self.people_nationalities[par]:
+            nat_score = nat_score * 100.0 / len(self.people_nationalities[par])
+        date_score = 0.0
+        person_dates = self.kb.get_dates(candidate)
+        for cd in self.people_dates[par]:
+            for pd in person_dates:
+                if cd.find(pd) > -1 or pd.find(cd) > -1:
+                    date_score += 1
+        if self.people_dates[par]:
+            date_score = date_score * 100.0 / len(self.people_dates[par])
+        prof_score = 0.0
+        for prof in self.kb.get_data_for(candidate, "ROLES").split(MULTIVAL):
+            if prof in self.people_professions[par]:
+                prof_score += 1
+        if self.people_professions[par]:
+            prof_score = prof_score * 100.0 / len(self.people_professions[par])
+        mention_score = self.mentioned_in_par(
+            [self.kb.get_data_for(candidate, "NAME")], "person")
+        result = (nat_score + date_score + prof_score + mention_score) / 4.0
+        prev = self.people_max_scores.get(candidate)
+        if prev is None or result > prev:
+            self.people_max_scores[candidate] = result
+        return result
+
+    # context.py:285-293 — self.countries is never populated (quirk) → 0
+    def country_percentile(self, country: str) -> float:
+        return 0.0
+
+    # context.py:294-299
+    def common_percentile(self, candidate: int, ent_type: str) -> float:
+        return self.mentioned_in_par(
+            [self.kb.get_data_for(candidate, "NAME")], ent_type)
+
+    # context.py:301-328
+    def org_event_percentile(self, candidate: int, ent_type: str) -> float:
+        par = self.paragraphs[self.paragraph_index]
+        mention_score = self.mentioned_in_par(
+            [self.kb.get_data_for(candidate, "NAME")], ent_type)
+        place_score = self.mentioned_in_par(
+            [self.kb.get_data_for(candidate, "LOCATION")], "settlement")
+        if ent_type == "organisation":  # 'organization' callers take the else!
+            ds = [self.kb.get_data_for(candidate, "FOUNDED"),
+                  self.kb.get_data_for(candidate, "CANCELLED")]
+        else:
+            ds = [self.kb.get_data_for(candidate, "START"),
+                  self.kb.get_data_for(candidate, "END")]
+        date_score = 0.0
+        for cd in self.people_dates[par]:
+            for od in ds:
+                if cd and od and (cd.find(od) > -1 or od.find(cd) > -1):
+                    date_score += 1
+        if self.people_dates[par]:
+            date_score = date_score * 100.0 / len(self.people_dates[par])
+        return (mention_score + place_score + date_score) / 3.0
+
+
+# ---------------------------------------------------------------------------
+# disambiguation (entity.py:134-262) + EN sense rules (en/entity.py:12-25)
+# ---------------------------------------------------------------------------
+
+def _right_context(text: str, m: Mention, s: str) -> bool:
+    return text[m.end:m.end + len(s)] == s if m.end + len(s) <= len(text) else False
+
+
+def _left_context(text: str, m: Mention, s: str) -> bool:
+    return text[m.start - len(s):m.start] == s if m.start - len(s) >= 0 else False
+
+
+def _right_sentence(text: str, m: Mention) -> str:
+    """Parenthesis-skipping sentence tail (entity.py:399-413)."""
+    tail = text[m.end:]
+    depth = 0
+    out = []
+    for ch in tail:
+        if ch == ")":
+            depth -= 1
+        elif ch == "(":
+            depth += 1
+        elif not depth:
+            out.append(ch)
+            if ch == ".":
+                break
+    return "".join(out)
+
+
+def _apply_en_sense_rules(m: Mention, kb: KBBundle, text: str) -> None:
+    """EN-specific eliminations (ner/lang_modules/en/entity.py:12-20)."""
+    senses = m.senses
+    senses = [s for s in senses
+              if not (("location" in kb.get_ent_type(s) or "locations" in kb.get_ent_type(s))
+                      and _right_context(text, m, "'s"))]
+    senses = [s for s in senses
+              if not ("location" in kb.get_ent_type(s) and m.source.startswith("The "))]
+    senses = [s for s in senses
+              if not ("location" not in kb.get_ent_type(s) and _left_context(text, m, " into "))]
+    m.senses = senses
+
+
+def disambiguate_without_context(m: Mention, kb: KBBundle, text: str, register: Register) -> None:
+    """entity.py:134-207."""
+    if m.source.lower() in PRONOUNS or m.partial_match_senses:
+        m.is_coreference = True
+        return
+    _apply_en_sense_rules(m, kb, text)
+
+    # artist → exclude groups (intended semantics; see module docstring)
+    for s in m.senses:
+        if "artist" in kb.get_ent_type(s):
+            m.senses = [x for x in m.senses if "group" not in kb.get_ent_type(x)]
+            break
+
+    # verb + JOBS elimination (entity.py:151-185)
+    sentence = _right_sentence(text, m)
+    verb_index = -1
+    for verb in VERBS:
+        verb_index = sentence.find(verb)
+        if verb_index != -1:
+            break
+    if verb_index != -1:
+        professions: list[str] = []
+        for s in m.senses:
+            if kb.get_ent_type(s) in ("person", "person:artist", "person:fictional"):
+                profs = kb.get_data_for(s, "JOBS")
+                if profs:
+                    cand = [p for p in profs.split(MULTIVAL)
+                            if sentence.find(" " + p + " ", verb_index) != -1]
+                    if cand:
+                        professions = cand
+                        break
+        if professions:
+            new_senses = []
+            for s in m.senses:
+                if kb.get_ent_type(s) in ("person", "person:artist", "person:fictional"):
+                    for p in kb.get_data_for(s, "JOBS").split(MULTIVAL):
+                        if p in professions:
+                            new_senses.append(s)
+                            break
+            m.senses = new_senses
+
+    m.senses = _ordered_dedup(m.senses)
+    m.candidates = list(m.senses)
+    if not m.candidates:
+        return
+    if len(m.candidates) == 1:
+        m.set_preferred_sense(m.candidates[0], register)
+        m.poorly_disambiguated = False
+    elif m.score == []:
+        m.set_preferred_sense(m.candidates[0], register)
+    if not m.has_preferred_sense():  # dead in practice (entity.py:197-207)
+        for c in m.candidates:
+            st = kb.get_score(c)
+            m.static_score.append(st)
+            m.score.append(st)
+        m.set_preferred_sense(m.candidates[m.score.index(max(m.score))], register)
+
+
+def disambiguate_with_context(m: Mention, kb: KBBundle, ctx: Context, register: Register) -> None:
+    """entity.py:209-262."""
+    if m.is_coreference or not m.candidates:
+        return
+    ctx.recompute_paragraph_offset(m.start)
+    m.score = []
+    m.static_score = []
+    m.context_score = []
+    for c in m.candidates:
+        t = kb.get_ent_type(c)
+        static = kb.get_score(c)
+        context_score = 0.0
+        if "geo" in t:
+            context_score = ctx.country_percentile(kb.get_data_for(c, "COUNTRY"))
+        elif "person" in t:
+            context_score = ctx.person_percentile(c)
+        elif "organization" in t:
+            context_score = ctx.org_event_percentile(c, "organization")
+        elif "event" in t:
+            context_score = ctx.org_event_percentile(c, "event")
+        else:
+            for ch in t:  # char iteration quirk (entity.py:241-245)
+                if ch[:2] != "__" and ch != "__":
+                    context_score = ctx.common_percentile(c, ch)
+                    break
+        if context_score > 0:
+            m.poorly_disambiguated = False
+        m.static_score.append(static)
+        m.context_score.append(context_score)
+        m.score.append(static + context_score)
+    m.set_preferred_sense(m.candidates[m.score.index(max(m.score))], register)
+
+    # explicit per-paragraph person count update (entity.py:253-262)
+    t = kb.get_ent_type(m.get_preferred_sense())
+    if "person" in t and len(m.candidates) != 1:
+        name = kb.get_data_for(m.get_preferred_sense(), "NAME")
+        par = ctx.paragraphs[ctx.paragraph_index]
+        bucket = ctx.mentions[par].setdefault("person", {})
+        bucket.setdefault(name, 0)
+        bucket[name] += 1
+
+
+# ---------------------------------------------------------------------------
+# coreference (ner.py:333-375, entity.py:269-352)
+# ---------------------------------------------------------------------------
+
+def _is_location_coreference(m: Mention, text: str) -> bool:
+    """en/entity.py:23-25."""
+    return m.source == "There" and any(
+        _right_context(text, m, s)
+        for s in (" is ", " are ", " was ", " were ", " has ", " have ", " had "))
+
+
+def resolve_pronoun_coreference(m: Mention, kb: KBBundle, ctx: Context,
+                                register: Register, text: str) -> None:
+    """entity.py:269-352 (gender-register state machine, kept verbatim in
+    behavior including the promote-unknown-gender moves)."""
+    if _is_location_coreference(m, text):
+        return
+    ptype = PRONOUNS[m.source.lower()]
+    bop = m.begin_of_paragraph if m.begin_of_paragraph is not None else 0
+    if "M" in ptype:
+        if ctx.last_unknown_gender:
+            ctx.before_last_male = ctx.last_male
+            ctx.last_male = ctx.last_unknown_gender
+            ctx.last_person = ctx.last_unknown_gender
+            ctx.last_unknown_gender = None
+        if ctx.last_male and ctx.last_male.start >= bop:
+            m.set_preferred_sense(ctx.last_male.get_preferred_entity(), register)
+    elif "F" in ptype:
+        if ctx.last_unknown_gender:
+            ctx.before_last_female = ctx.last_female
+            ctx.last_female = ctx.last_unknown_gender
+            ctx.last_person = ctx.last_unknown_gender
+            ctx.last_unknown_gender = None
+        if ctx.last_female and ctx.last_female.start >= bop:
+            m.set_preferred_sense(ctx.last_female.get_preferred_entity(), register)
+
+
+def _get_nearest_predecessor(m: Mention, candidates) -> Mention | None:
+    """ner.py:378-387 — smallest positive start-offset distance."""
+    for c in sorted(candidates, key=lambda c: m.start - c.start):
+        if m.start - c.start > 0:
+            return c
+    return None
+
+
+def _get_nearest_entity_sense(m: Mention, candidates: list[Mention]):
+    """ner.py:390-398 — min |Δstart|, returns the raw preferred_sense."""
+    best = sorted(candidates, key=lambda c: (abs(m.start - c.start), c.start))[0]
+    return best.preferred_sense
+
+
+def fix_poor_disambiguation(entities: list[Mention], kb: KBBundle,
+                            register: Register) -> None:
+    """ner.py:177-208."""
+    strong: dict[str, list[Mention]] = {}
+    strong_by_id: dict[int, list[Mention]] = {}
+    ents = [e for e in entities if not e.is_coreference]
+    for e in ents:
+        if not e.poorly_disambiguated:
+            strong.setdefault(e.source, []).append(e.get_preferred_entity())
+            strong_by_id.setdefault(e.get_preferred_sense(), []).append(e.get_preferred_entity())
+    for e in ents:
+        if e.poorly_disambiguated:
+            candidates: list[Mention] = []
+            for s in e.senses:
+                if s in strong_by_id:
+                    candidates += strong_by_id[s]
+            if candidates:
+                e.set_preferred_sense(_get_nearest_entity_sense(e, candidates), register)
+                e.poorly_disambiguated = False
+            elif e.source in strong:
+                e.set_preferred_sense(_get_nearest_entity_sense(e, strong[e.source]), register)
+                e.poorly_disambiguated = False
+
+
+def resolve_coreferences(entities: list[Mention], kb: KBBundle, ctx: Context,
+                         register: Register, text: str) -> None:
+    """ner.py:333-375 (default mode, print_all=False)."""
+    for e in entities:
+        if not e.is_coreference and e.has_preferred_sense():
+            if "person" in kb.get_ent_type(e.get_preferred_sense()):
+                ctx.people_in_text.add(e.get_preferred_sense())
+    for e in entities:
+        if e.is_coreference:
+            e.partial_match_senses = frozenset(
+                s for s in e.partial_match_senses if s in ctx.people_in_text)
+            if e.partial_match_senses:
+                sense = sorted(e.partial_match_senses,
+                               key=lambda c: (-kb.get_score(c), c))[0]
+                candidates = list(register.id2entity.get(sense, []))
+                if not e.source.lower().startswith("the "):
+                    lo = remove_accent_unicode(e.source).lower()
+                    candidates = [c for c in candidates
+                                  if lo in remove_accent_unicode(c.source).lower()]
+                antecedent = _get_nearest_predecessor(e, candidates)
+                if antecedent:
+                    e.set_preferred_sense(antecedent, register)
+                elif e.senses:
+                    e.is_coreference = False
+                    e.partial_match_senses = frozenset()
+                    disambiguate_without_context(e, kb, text, register)
+                    disambiguate_with_context(e, kb, ctx, register)
+            elif e.source.lower() in PRONOUNS:
+                resolve_pronoun_coreference(e, kb, ctx, register, text)
+            elif e.senses:
+                e.is_coreference = False
+                disambiguate_without_context(e, kb, text, register)
+                disambiguate_with_context(e, kb, ctx, register)
+        if e.has_preferred_sense():
+            ctx.update(e)
+
+
+# ---------------------------------------------------------------------------
+# relational filters (ner.py:161-174, 484-573)
+# ---------------------------------------------------------------------------
+
+def find_proper_nouns(text: str, list_titles: set[str] = frozenset()) -> list[tuple[int, int]]:
+    """ner.py:161-174."""
+    preps = "".join(r"| {}".format(re.escape(p)) for p in PROPER_NOUNS_PREPS)
+    rx = re.compile(
+        r"(?<!\. |\? |! |: |\s{2})[A-Z][A-Za-z'\-]*( [A-Z][A-Za-z'\-]*"
+        + preps + r")* [A-Z][A-Za-z'\-]*")
+    out = []
+    for pn in rx.finditer(text):
+        fields = pn.group(0).split()
+        if fields[0] not in list_titles and pn.start() != 0:
+            out.append((pn.start(), pn.end()))
+    return out
+
+
+def remove_shorter_entities(mentions: list[Mention]) -> list[Mention]:
+    """ner.py:484-496 — first-come occupancy over [start, end] char sets."""
+    occupied: set[int] = set()
+    out = []
+    for e in mentions:
+        span = set(range(e.start, e.end + 1))
+        if not (span & occupied):
+            occupied |= span
+            out.append(e)
+    return out
+
+
+def resolve_overlapping_proper_nouns(entities: list[Mention], text: str,
+                                     list_titles: set[str] = frozenset()) -> list[Mention]:
+    """ner.py:499-547 — drop entities partially overlapping a proper noun
+    unless the uncovered part has no spaces or has apostrophes."""
+    clean = remove_accent_unicode(text)
+    proper = find_proper_nouns(clean, list_titles)
+    pn_offsets: set[int] = set()
+    pn_index: dict[int, tuple[int, int]] = {}
+    for pn in proper:
+        for o in range(pn[0], pn[1]):
+            pn_offsets.add(o)
+            pn_index[o] = pn
+    ent_offsets: set[int] = set()
+    for e in entities:
+        ent_offsets.update(range(e.start, e.end))
+    diff = pn_offsets - ent_offsets
+    spaces_in_diff = {o for o in diff if clean[o] == " "}
+    solitary = {o for o in spaces_in_diff
+                if o - 1 not in spaces_in_diff and o + 1 not in spaces_in_diff}
+    out = []
+    for e in entities:
+        span = set(range(e.start, e.end))
+        overlap = pn_offsets & span
+        if overlap:
+            for opn in {pn_index[o] for o in overlap}:
+                opn_span = set(range(opn[0], opn[1]))
+                d = opn_span - ent_offsets
+                spaces = [o for o in d if clean[o] == " " and o not in solitary]
+                apostrophes = [o for o in d if clean[o] == "'"]
+                if not spaces or apostrophes:
+                    out.append(e)
+                    break
+        else:
+            out.append(e)
+    return out
+
+
+def remove_nearby_entities(entities: list[Mention], kb: KBBundle, text: str) -> list[Mention]:
+    """ner.py:549-573 — adjacent same-type person/location pairs dropped.
+    NB the reference wraps get_ent_type in a 1-element set, so the
+    {'person','location'} test is EQUALITY with the full type string."""
+    for i in range(1, len(entities)):
+        ent, bef = entities[i], entities[i - 1]
+        if ent.has_preferred_sense() and ent.source.lower() not in PRONOUNS:
+            if bef.has_preferred_sense() and bef.source.lower() not in PRONOUNS:
+                if re.search("^[ ]+$", text[bef.end:ent.start]):
+                    t1 = {kb.get_ent_type(ent.get_preferred_sense())}
+                    t2 = {kb.get_ent_type(bef.get_preferred_sense())}
+                    if {"person", "location"} & (t1 & t2):
+                        ent.next_to_same_type = True
+                        bef.next_to_same_type = True
+    return [e for e in entities if not e.next_to_same_type]
+
+
+# ---------------------------------------------------------------------------
+# the per-document driver (recognize stages b-k, ner.py:576-714)
+# ---------------------------------------------------------------------------
+
+def resolve_document(
+    text: str,
+    matches: Sequence[tuple[Sequence[int], int, int, str]],
+    kb: KBBundle,
+    list_titles: set[str] = frozenset(),
+) -> list[dict]:
+    """Run stages b-k on one (sanitized) document.
+
+    ``matches``: automaton output — (ids, start, end, fragment) in emission
+    order.  Returns the final mention rows:
+    ``{start, end, kind: kb|coref|date, text, sense, iso, confidence}``
+    mirroring the reference's output line (entity.py:357-388, dates:
+    Date.__str__).
+    """
+    register = Register()
+    global_senses: set[int] = set()
+    figa_entities: list[Mention] = []
+    for ids, start, end, fragment in matches:
+        m = Mention(start, end, fragment, ids)
+        global_senses.update(m.senses)
+        if not m.senses and m.source in kb.nationality_forms:
+            m.is_nationality = True  # entity.py:80-83
+        m.partial_match_senses = frozenset(
+            kb.people_named(remove_accent_unicode(m.source).lower()))
+        figa_entities.append(m)
+
+    for e in figa_entities:  # ner.py:627-628
+        e.partial_match_senses = frozenset(e.partial_match_senses & global_senses)
+
+    figa_entities = remove_shorter_entities(figa_entities)
+
+    nationalities: list[Mention] = []
+    entities: list[Mention] = []
+    for e in figa_entities:  # ner.py:635-641
+        if e.is_nationality:
+            nationalities.append(e)
+        elif e.senses or e.partial_match_senses or e.source.lower() in PRONOUNS:
+            entities.append(e)
+
+    dates_found = find_dates(text, split_interval=True)
+    ent_offsets: set[int] = set()
+    for e in entities:
+        ent_offsets.update(range(e.start, e.end + 1))
+    dates_found = [d for d in dates_found
+                   if not (set(range(d.start, d.end + 1)) & ent_offsets)]
+
+    entities_and_dates: list = list(dates_found) + list(entities)
+    entities_and_dates.sort(key=lambda x: x.start)
+
+    for e in entities:
+        disambiguate_without_context(e, kb, text, register)
+
+    paragraphs = offsets_of_paragraphs(text)
+    ctx = Context(entities_and_dates, kb, paragraphs, nationalities, text)
+    for e in entities:
+        disambiguate_with_context(e, kb, ctx, register)
+    fix_poor_disambiguation(entities, kb, register)
+    ctx = Context(entities_and_dates, kb, paragraphs, nationalities, text)
+
+    name_corefs = [e for e in entities
+                   if e.source.lower() not in PRONOUNS
+                   and not e.source.lower().startswith("the ")]
+    resolve_coreferences(name_corefs, kb, ctx, register, text)
+    resolve_coreferences(entities, kb, ctx, register, text)
+
+    entities = resolve_overlapping_proper_nouns(entities, text, list_titles)
+    kept = set(map(id, remove_nearby_entities(entities, kb, text)))
+    entities_and_dates = [
+        e for e in entities_and_dates
+        if isinstance(e, DateMatch) or id(e) in kept]
+
+    # final sense filter, default mode (ner.py:700-703)
+    entities_and_dates = [
+        e for e in entities_and_dates
+        if isinstance(e, DateMatch) or e.has_preferred_sense() or e.is_name]
+
+    out = []
+    for e in entities_and_dates:
+        if isinstance(e, DateMatch):
+            out.append({
+                "start": e.start, "end": e.end, "kind": "date",
+                "text": e.source, "sense": None,
+                "iso": e.iso.iso(), "confidence": e.confidence,
+            })
+        else:
+            kind = "coref" if e.is_coreference else ("name" if e.is_name else "kb")
+            out.append({
+                "start": e.start, "end": e.end, "kind": kind,
+                "text": text[e.start:e.end].replace("\n", " ").replace("\r", ""),
+                "sense": e.get_preferred_sense(), "iso": None,
+                "confidence": None,
+            })
+    return out
