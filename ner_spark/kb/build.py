@@ -1,0 +1,123 @@
+"""KB compile job (SURVEY §3.3 / M1, Spark-first).
+
+Two cooperating outputs:
+
+  * a relational ``kb`` DataFrame with the A10/A11 static scores computed
+    as a pure DataFrame job (groupBy type → max, broadcast join back,
+    column arithmetic — metrics_knowledge_base.py:330-387 semantics); used
+    by the triple/attribute stages and as the small side of broadcast joins;
+  * broadcast artifacts: the picklable :class:`KBBundle` + compiled
+    :class:`GazetteerAutomaton` — one read-only copy per executor, the
+    idiomatic replacement for the reference's shared-memory KB daemon
+    (ner/kb_daemon.py:30-61) and memory-mapped ``.dct`` automaton.
+
+The Python and DataFrame score paths are tested for equality
+(tests/test_kb_build.py), so either can be treated as the oracle of the
+other.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ner_spark.semantics.automaton import GazetteerAutomaton
+from ner_spark.semantics.kb import KB_COLUMNS, KBBundle, build_namelist
+
+_STR_COLS = [c for c in KB_COLUMNS if c not in
+             ("id", "wiki_backlinks", "wiki_hits", "wiki_ps")]
+
+
+def kb_rows_to_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """Flat KB rows → DataFrame (strings + int wiki stats, 1-based id)."""
+    norm = []
+    for r in rows:
+        d = {c: (str(r[c]) if r.get(c) is not None else "") for c in _STR_COLS}
+        d["id"] = int(r["id"])
+        for c in ("wiki_backlinks", "wiki_hits", "wiki_ps"):
+            v = r.get(c)
+            d[c] = int(v) if v is not None and str(v) != "" else None
+        norm.append(d)
+    schema = "id long, " + ", ".join(f"`{c}` string" for c in _STR_COLS) \
+        + ", wiki_backlinks long, wiki_hits long, wiki_ps long"
+    return spark.createDataFrame(norm, schema=schema)
+
+
+def with_static_scores(kb_df: DataFrame) -> DataFrame:
+    """A10/A11 as a DataFrame job: per-type maxima (0.25 cap for
+    backlinks/hits), weighted averages 5:5:1 and 5:1, 2-decimal rounding
+    (metrics_knowledge_base.py:330-387)."""
+    nonempty = sum(
+        (F.when(F.coalesce(F.col(c).cast("string"), F.lit("")) != "", 1).otherwise(0)
+         for c in KB_COLUMNS if c != "id"),
+        F.lit(0),
+    )
+    df = kb_df.withColumn("desc_len", F.length(F.coalesce("description", F.lit(""))).cast("double")) \
+              .withColumn("ncols", nonempty.cast("double"))
+    maxima = df.groupBy("type").agg(
+        F.max("desc_len").alias("mx_desc"),
+        F.max("ncols").alias("mx_ncols"),
+        F.max("wiki_backlinks").alias("mx_bl"),
+        F.max("wiki_hits").alias("mx_ht"),
+        F.max("wiki_ps").alias("mx_ps"),
+    )
+    df = df.join(F.broadcast(maxima), "type")
+
+    def norm(value, mx):
+        return F.when(F.coalesce(mx, F.lit(0.0)) == 0.0, F.lit(1.0)) \
+                .otherwise(F.least(value / mx, F.lit(1.0)))
+
+    has_wiki = F.col("wiki_backlinks").isNotNull()
+    score_wiki = F.when(
+        has_wiki,
+        100.0 * (5 * norm(F.col("wiki_backlinks").cast("double"), 0.25 * F.col("mx_bl").cast("double"))
+                 + 5 * norm(F.col("wiki_hits").cast("double"), 0.25 * F.col("mx_ht").cast("double"))
+                 + 1 * norm(F.col("wiki_ps").cast("double"), F.col("mx_ps").cast("double"))) / 11.0,
+    ).otherwise(0.0)
+    score_metrics = 100.0 * (norm(F.col("desc_len"), F.col("mx_desc"))
+                             + norm(F.col("ncols"), F.col("mx_ncols"))) / 2.0
+    return (
+        df.withColumn("score_wiki", F.round(score_wiki, 2))
+          .withColumn("score_metrics", F.round(score_metrics, 2))
+          .withColumn("confidence", F.round((5 * score_wiki + 1 * score_metrics) / 6.0, 2))
+          .drop("desc_len", "ncols", "mx_desc", "mx_ncols", "mx_bl", "mx_ht", "mx_ps")
+    )
+
+
+@dataclass
+class KBArtifacts:
+    """Everything the pipeline needs: relational KB + broadcast payloads."""
+
+    kb_df: DataFrame          # with static scores
+    bundle_bc: "object"       # Broadcast[KBBundle]
+    automaton_bc: "object"    # Broadcast[GazetteerAutomaton]
+    n_entities: int
+    n_keys: int
+
+    @property
+    def bundle(self) -> KBBundle:
+        return self.bundle_bc.value
+
+    @property
+    def automaton(self) -> GazetteerAutomaton:
+        return self.automaton_bc.value
+
+
+def compile_kb(spark: SparkSession, rows: list[dict],
+               stop_list: set[str] | None = None) -> KBArtifacts:
+    """Driver-side KB compile + broadcast (rebuilt when the KB snapshot
+    changes, the analogue of the ETag/version handshake ner.py:756-810)."""
+    bundle = KBBundle.from_rows(rows)
+    namelist = build_namelist(bundle, stop_list=stop_list)
+    automaton = GazetteerAutomaton.build(namelist.items())
+    kb_df = with_static_scores(kb_rows_to_df(spark, rows))
+    sc = spark.sparkContext
+    return KBArtifacts(
+        kb_df=kb_df,
+        bundle_bc=sc.broadcast(bundle),
+        automaton_bc=sc.broadcast(automaton),
+        n_entities=bundle.n_rows(),
+        n_keys=automaton.n_keys,
+    )

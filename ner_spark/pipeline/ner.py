@@ -1,0 +1,95 @@
+"""Mention extraction: the hot path of the engine.
+
+Design for 100 TB (SURVEY §4 physical plan): the whole per-document NER —
+scan + disambiguation + coreference — is ONE narrow ``mapInPandas`` stage
+over the pages table.  The reference has no cross-document state
+(ner.py:837-856 resets per doc), so this stage needs **zero shuffles**: one
+Arrow batch in, mention rows out, KB + automaton read from a per-executor
+broadcast.  Everything relational (dedup, co-mention join, canonicalization)
+happens downstream on the much smaller mentions/triples tables.
+
+Column pruning matters: we select only (url, text) before the UDF so the
+parquet/Iceberg scan never reads the binary ``html`` column (verified by
+ReadSchema in tests/test_plans.py).
+
+Sanitization (ner.py:611) runs JVM-side as a ``regexp_replace`` with the
+exact reference character class — whole-stage-codegen'd, and tested
+byte-identical to the Python ``re`` implementation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ner_spark.kb.build import KBArtifacts
+
+# Java regex equivalent of textnorm.SANITIZE_RE (ner.py:611).  Control chars
+# are spelled with \uXXXX escapes so the pattern survives any plan printing.
+_SANITIZE_JAVA = "[;\\u0001-\\u0008\\u000e-\\u001f\\u000c\\u007f]"
+
+MENTION_SCHEMA = (
+    "url string, start int, end int, par int, kind string, "
+    "text string, sense int, iso string, confidence int"
+)
+SCAN_SCHEMA = "url string, start int, end int, fragment string, ids array<int>"
+
+
+def sanitized_pages(pages: DataFrame, url_col: str = "url",
+                    text_col: str = "text") -> DataFrame:
+    """Project to (url, text) — pruning ``html`` — and sanitize JVM-side."""
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.regexp_replace(F.col(text_col), _SANITIZE_JAVA, " ").alias("text"),
+    )
+
+
+def scan_mentions(pages: DataFrame, artifacts: KBArtifacts,
+                  url_col: str = "url", text_col: str = "text") -> DataFrame:
+    """Raw gazetteer matches only (stage M2) — no resolution.  Useful for
+    debugging and for relational-filter queries; the production path is
+    :func:`extract_mentions` which fuses scan+resolve in one pass."""
+    src = sanitized_pages(pages, url_col, text_col)
+    atm_bc = artifacts.automaton_bc
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        atm = atm_bc.value
+        for pdf in batches:
+            rows = []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for m in atm.scan(text):
+                    rows.append((url, m.start, m.end, m.fragment, list(m.ids)))
+            yield pd.DataFrame(
+                rows, columns=["url", "start", "end", "fragment", "ids"])
+
+    return src.mapInPandas(fn, schema=SCAN_SCHEMA)
+
+
+def extract_mentions(pages: DataFrame, artifacts: KBArtifacts,
+                     url_col: str = "url", text_col: str = "text") -> DataFrame:
+    """pages → final mention rows (scan + stages b-k fused, zero-shuffle)."""
+    src = sanitized_pages(pages, url_col, text_col)
+    bundle_bc = artifacts.bundle_bc
+    atm_bc = artifacts.automaton_bc
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ner_spark.semantics.resolve import resolve_document
+
+        bundle = bundle_bc.value
+        atm = atm_bc.value
+        cols = ["url", "start", "end", "par", "kind", "text",
+                "sense", "iso", "confidence"]
+        for pdf in batches:
+            rows = []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                matches = [(m.ids, m.start, m.end, m.fragment)
+                           for m in atm.scan(text)]
+                for r in resolve_document(text, matches, bundle):
+                    rows.append((url, r["start"], r["end"], r["par"], r["kind"],
+                                 r["text"], r["sense"], r["iso"], r["confidence"]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(fn, schema=MENTION_SCHEMA)

@@ -1,0 +1,164 @@
+"""Triple emission + canonicalization (SURVEY §7.3, north-star mapping).
+
+Triple kinds produced from the final mentions table and the KB:
+
+  * mention triples   (page url, "mentions", entity)  + date triples
+  * type triples      (entity, "rdf:type", type path)
+  * attribute triples (entity, <attr>, value) — multivalue attrs exploded
+  * co-mention edges  (e1, "coMentionedWith", e2) per (url, paragraph), J9
+  * sameAs edges      (alias entity, "sameAs", canonical entity) via
+    connected components over redirect links, J10
+
+Scale notes: the co-mention self-join shuffles on (url, par) — a
+fine-grained, naturally unskewed key; entity-popularity skew only appears
+in the following count aggregation where map-side partial aggregation
+absorbs it.  The canonical remap joins triples against the (tiny) component
+mapping with an explicit ``broadcast`` so no shuffle of the big triple
+table is needed.  Entities are rendered as "e:<id>" URIs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ner_spark.pipeline.cc import connected_components
+
+TRIPLE_SCHEMA = "subj string, pred string, obj string"
+
+_SINGLE_ATTRS = ["gender", "date_of_birth", "date_of_death", "country",
+                 "location", "founded", "cancelled", "start", "end",
+                 "fictional", "description", "wikipedia_url"]
+_MULTI_ATTRS = ["aliases", "nationalities", "jobs", "roles"]
+
+
+def _e(col) -> F.Column:
+    return F.concat(F.lit("e:"), col.cast("string"))
+
+
+def mention_triples(mentions: DataFrame) -> DataFrame:
+    """Final mentions → (url, mentions, e:id) and (url, mentionsDate, iso)."""
+    ents = (
+        mentions.filter(F.col("sense").isNotNull())
+        .select(F.col("url").alias("subj"), F.lit("mentions").alias("pred"),
+                _e(F.col("sense")).alias("obj"))
+    )
+    dates = (
+        mentions.filter(F.col("kind") == "date")
+        .select(F.col("url").alias("subj"), F.lit("mentionsDate").alias("pred"),
+                F.col("iso").alias("obj"))
+    )
+    return ents.unionByName(dates)
+
+
+def type_triples(kb_df: DataFrame) -> DataFrame:
+    return kb_df.select(_e(F.col("id")).alias("subj"),
+                        F.lit("rdf:type").alias("pred"),
+                        F.col("type").alias("obj"))
+
+
+def attribute_triples(kb_df: DataFrame) -> DataFrame:
+    """KB attribute predicates; multivalue columns exploded on '|'
+    (KB_MULTIVALUE_DELIM, ner/configs.py:14)."""
+    singles = None
+    for attr in _SINGLE_ATTRS:
+        part = (
+            kb_df.filter(F.coalesce(F.col(attr), F.lit("")) != "")
+            .select(_e(F.col("id")).alias("subj"), F.lit(attr).alias("pred"),
+                    F.col(attr).alias("obj"))
+        )
+        singles = part if singles is None else singles.unionByName(part)
+    multis = None
+    for attr in _MULTI_ATTRS:
+        part = (
+            kb_df.filter(F.coalesce(F.col(attr), F.lit("")) != "")
+            .select(_e(F.col("id")).alias("subj"), F.lit(attr).alias("pred"),
+                    F.explode(F.split(F.col(attr), r"\|")).alias("obj"))
+            .filter(F.col("obj") != "")
+        )
+        multis = part if multis is None else multis.unionByName(part)
+    return singles.unionByName(multis)
+
+
+def comention_edges(mentions: DataFrame) -> DataFrame:
+    """(e1, coMentionedWith, e2) with e1 < e2, weighted by pair count (J9)."""
+    ents = (
+        mentions.filter(F.col("sense").isNotNull())
+        .select("url", "par", "sense").distinct()
+    )
+    a, b = ents.alias("a"), ents.alias("b")
+    pairs = (
+        a.join(b, on=["url", "par"])
+        .filter(F.col("a.sense") < F.col("b.sense"))
+        .select(F.col("a.sense").alias("s1"), F.col("b.sense").alias("s2"))
+    )
+    return (
+        pairs.groupBy("s1", "s2").agg(F.count(F.lit(1)).alias("weight"))
+        .select(_e(F.col("s1")).alias("subj"),
+                F.lit("coMentionedWith").alias("pred"),
+                _e(F.col("s2")).alias("obj"),
+                "weight")
+    )
+
+
+def redirect_edges(kb_df: DataFrame) -> DataFrame:
+    """redirect name → entity id resolution: (src id, dst id) long pairs."""
+    r = (
+        kb_df.filter(F.coalesce(F.col("redirects"), F.lit("")) != "")
+        .select(F.col("id").alias("src"),
+                F.explode(F.split(F.col("redirects"), r"\|")).alias("rname"))
+        .filter(F.col("rname") != "")
+    )
+    names = kb_df.select(F.col("id").alias("dst"), F.col("name").alias("rname"))
+    return r.join(F.broadcast(names), "rname").select("src", "dst")
+
+
+def sameas_mapping(kb_df: DataFrame) -> DataFrame:
+    """(node, component) over redirect links; component = canonical id."""
+    return connected_components(redirect_edges(kb_df))
+
+
+def sameas_triples(mapping: DataFrame) -> DataFrame:
+    return (
+        mapping.filter(F.col("node") != F.col("component"))
+        .select(_e(F.col("node")).alias("subj"), F.lit("sameAs").alias("pred"),
+                _e(F.col("component")).alias("obj"))
+    )
+
+
+def canonicalize(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Remap e:<id> subjects/objects to their canonical component via a
+    broadcast join (mapping ≪ triples; no shuffle of the triple table)."""
+    m = mapping.select(
+        _e(F.col("node")).alias("from_uri"), _e(F.col("component")).alias("to_uri"))
+    t = (
+        triples.join(F.broadcast(m).withColumnRenamed("from_uri", "subj")
+                     .withColumnRenamed("to_uri", "subj_canon"),
+                     on="subj", how="left")
+        .join(F.broadcast(m).withColumnRenamed("from_uri", "obj")
+              .withColumnRenamed("to_uri", "obj_canon"),
+              on="obj", how="left")
+    )
+    return t.select(
+        F.coalesce("subj_canon", "subj").alias("subj"),
+        F.col("pred"),
+        F.coalesce("obj_canon", "obj").alias("obj"),
+        *[c for c in triples.columns if c not in ("subj", "pred", "obj")],
+    )
+
+
+def build_triples(mentions: DataFrame, kb_df: DataFrame,
+                  include_comentions: bool = True) -> DataFrame:
+    """Full triple table (canonicalized); weight column only on co-mentions."""
+    base = (
+        mention_triples(mentions)
+        .unionByName(type_triples(kb_df))
+        .unionByName(attribute_triples(kb_df))
+        .withColumn("weight", F.lit(None).cast("long"))
+    )
+    if include_comentions:
+        base = base.unionByName(comention_edges(mentions))
+    mapping = sameas_mapping(kb_df)
+    out = canonicalize(base, mapping)
+    return out.unionByName(
+        sameas_triples(mapping).withColumn("weight", F.lit(None).cast("long")))

@@ -739,18 +739,21 @@ def resolve_document(
         e for e in entities_and_dates
         if isinstance(e, DateMatch) or e.has_preferred_sense() or e.is_name]
 
+    from bisect import bisect_right
+
     out = []
     for e in entities_and_dates:
+        par = paragraphs[bisect_right(paragraphs, e.start) - 1]
         if isinstance(e, DateMatch):
             out.append({
-                "start": e.start, "end": e.end, "kind": "date",
+                "start": e.start, "end": e.end, "par": par, "kind": "date",
                 "text": e.source, "sense": None,
                 "iso": e.iso.iso(), "confidence": e.confidence,
             })
         else:
             kind = "coref" if e.is_coreference else ("name" if e.is_name else "kb")
             out.append({
-                "start": e.start, "end": e.end, "kind": kind,
+                "start": e.start, "end": e.end, "par": par, "kind": kind,
                 "text": text[e.start:e.end].replace("\n", " ").replace("\r", ""),
                 "sense": e.get_preferred_sense(), "iso": None,
                 "confidence": None,
