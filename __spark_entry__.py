@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship KG pipeline (documents → canonicalized triples).
+``queries`` — one entry per implemented operator family (SURVEY §2),
+              each (spark, sf_dir) → DataFrame.
+``oracle_sql`` — DuckDB-equivalent SQL per query (omitted only for ops whose
+              kernels are not SQL-expressible: MinHash/SimHash signatures,
+              hyperplane LSH — those get the driver's rows-only check).
+
+Column names/aliases match between each pair; float aggregates are rounded
+on both sides so double-summation order differences cannot flip the hash.
 """
 
 from __future__ import annotations
@@ -12,27 +16,401 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+from ner_spark.fixtures.dockb import (SURFACES, compile_dockb, dockb_rows,
+                                      surface_case_sql, surfaces_in_list_sql)
+from ner_spark.operators import asof_join, salted_count
+from ner_spark.pipeline.ner import extract_mentions, scan_mentions
+from ner_spark.pipeline.cc import connected_components
+from ner_spark.pipeline.triples import build_triples, comention_edges
+from ner_spark.similarity.ann import brute_force_topk, lsh_topk
+from ner_spark.textops.analysis import (fingerprint, lang_id, quality_score,
+                                        token_stats)
+from ner_spark.textops.dedup import (exact_duplicates, jaccard_pairs,
+                                     minhash_lsh_pairs, simhash_near_dups)
+from ner_spark.multimodal.binary import featurize
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """KG pipeline over sf0.001 documents with the vocabulary KB."""
+    sf_dir = "/root/testdata/sf0.001"
+    art = compile_dockb(spark)
+    mentions = extract_mentions(_docs_as_pages(spark, sf_dir), art).persist()
+    return build_triples(mentions, art.kb_df)
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+             F.round(F.sum(disc), 2).alias("sum_disc_price"),
+             F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+             F.count(F.lit(1)).alias("count_order"))
+    )
+
+
+def q_top_order_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+             .select("o_custkey", "o_orderkey", "o_totalprice"))
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .groupBy("n_name")
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+              F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_salted_count(spark, sf_dir):
+    return salted_count(_t(spark, sf_dir, "orders"), "o_custkey", salt_k=8)
+
+
+def q_asof_join_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    right = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("value").alias("prior_purchase"))
+    return asof_join(left, right, on="user_id", left_ts="ts",
+                     right_ts="ts", right_vals=["prior_purchase"]) \
+        .select("event_id", "user_id", "prior_purchase")
+
+
+def q_kgc_mention_counts(spark, sf_dir):
+    art = compile_dockb(spark)
+    scans = scan_mentions(_docs_as_pages(spark, sf_dir), art)
+    return scans.groupBy(F.col("fragment").alias("surface")) \
+                .agg(F.count(F.lit(1)).alias("n_mentions"))
+
+
+def q_kgc_comention_pairs(spark, sf_dir):
+    art = compile_dockb(spark)
+    mentions = extract_mentions(_docs_as_pages(spark, sf_dir), art)
+    return comention_edges(mentions)
+
+
+def q_kgc_triples(spark, sf_dir):
+    art = compile_dockb(spark)
+    mentions = extract_mentions(_docs_as_pages(spark, sf_dir), art).persist()
+    return build_triples(mentions, art.kb_df)
+
+
+def q_kgc_connected_components(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    edges = d.select(
+        ((F.col("doc_id") % 10) * 100 + F.col("doc_id") % 7).alias("src"),
+        ((F.col("doc_id") % 10) * 100 + F.col("doc_id") % 5).alias("dst"))
+    return connected_components(edges)
+
+
+def q_text_token_stats(spark, sf_dir):
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_text_langid(spark, sf_dir):
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return jaccard_pairs(_t(spark, sf_dir, "documents"),
+                         block_col="source", threshold=0.5)
+
+
+def q_dedup_minhash(spark, sf_dir):  # rows-only (driver)
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):  # rows-only (driver)
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=16)
+
+
+def q_embed_knn(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 8")
+    return brute_force_topk(emb, queries, k=5)
+
+
+def q_embed_lsh(spark, sf_dir):  # rows-only (driver)
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter("vec_id < 8"), k=5, bits=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("media"))
+    return featurize(d).select("id", "n_bytes", "sha_prefix")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tpch_q1": q_tpch_q1,
+        "top_order_per_customer": q_top_order_per_customer,
+        "revenue_by_nation": q_revenue_by_nation,
+        "salted_count": q_salted_count,
+        "asof_join_events": q_asof_join_events,
+        "kgc_mention_counts": q_kgc_mention_counts,
+        "kgc_comention_pairs": q_kgc_comention_pairs,
+        "kgc_triples": q_kgc_triples,
+        "kgc_connected_components": q_kgc_connected_components,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "embed_knn": q_embed_knn,
+        "embed_lsh": q_embed_lsh,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# --------------------------------------------------------------------------
+
+_TOKS = ("SELECT CAST(doc_id AS VARCHAR) AS url, "
+         "unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok "
+         "FROM documents")
+
+_STOPWORDS_SQL = "'the','a','of','and','to','in','is','was','it','for'"
+
+_LANGS_SQL = {
+    "en": "'the','and','of','is','was'",
+    "es": "'el','la','de','que','los'",
+    "de": "'der','die','und','das','ist'",
+    "fr": "'le','la','les','des','est'",
+    "zh": "'de','shi','le','zai','he'",
+}
+
+
+def _kgc_matches() -> str:
+    return (f"SELECT url, tok, {surface_case_sql()} AS id FROM ({_TOKS}) "
+            f"WHERE tok IN ({surfaces_in_list_sql()})")
+
+
+def _kb_values() -> str:
+    """(id, type, descr) rows mirroring dockb_rows()."""
+    vals = ", ".join(
+        f"({r['id']}, '{r['type']}', '{r['description']}')"
+        for r in dockb_rows())
+    return f"(VALUES {vals}) AS kb(id, type, descr)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_scores = ", ".join(
+        "len(list_filter(toks, x -> x IN (%s))) AS score_%s" % (m, l)
+        for l, m in _LANGS_SQL.items())
+    lang_structs = ", ".join(
+        "{'score': score_%s, 'lang': '%s'}" % (l, l) for l in _LANGS_SQL)
+    return {
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_order_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn = 1
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "salted_count": """
+            SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+        """,
+        "asof_join_events": """
+            WITH u AS (
+              SELECT event_id, user_id, ts, CAST(NULL AS DOUBLE) AS v, 1 AS side
+              FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT NULL, user_id, ts, value, 0
+              FROM events WHERE event_type = 'purchase')
+            SELECT event_id, user_id,
+                   last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY ts, side
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_purchase
+            FROM u QUALIFY side = 1
+        """,
+        "kgc_mention_counts": f"""
+            SELECT tok AS surface, count(*) AS n_mentions
+            FROM ({_TOKS}) WHERE tok IN ({surfaces_in_list_sql()})
+            GROUP BY tok
+        """,
+        "kgc_comention_pairs": f"""
+            WITH m AS ({_kgc_matches()}),
+                 d AS (SELECT DISTINCT url, id FROM m)
+            SELECT 'e:' || a.id AS subj, 'coMentionedWith' AS pred,
+                   'e:' || b.id AS obj, count(*) AS weight
+            FROM d a JOIN d b USING (url) WHERE a.id < b.id
+            GROUP BY a.id, b.id
+        """,
+        "kgc_triples": f"""
+            WITH m AS ({_kgc_matches()}),
+                 d AS (SELECT DISTINCT url, id FROM m)
+            SELECT url AS subj, 'mentions' AS pred, 'e:' || id AS obj,
+                   CAST(NULL AS BIGINT) AS weight FROM m
+            UNION ALL
+            SELECT 'e:' || id, 'rdf:type', type, NULL FROM {_kb_values()}
+            UNION ALL
+            SELECT 'e:' || id, 'description', descr, NULL FROM {_kb_values()}
+            UNION ALL
+            SELECT 'e:' || a.id, 'coMentionedWith', 'e:' || b.id, count(*)
+            FROM d a JOIN d b USING (url) WHERE a.id < b.id
+            GROUP BY a.id, b.id
+        """,
+        "kgc_connected_components": """
+            WITH RECURSIVE
+              e AS (SELECT (doc_id % 10) * 100 + doc_id % 7 AS src,
+                           (doc_id % 10) * 100 + doc_id % 5 AS dst
+                    FROM documents),
+              ef AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+              sym AS (SELECT src, dst FROM ef UNION SELECT dst, src FROM ef),
+              nodes AS (SELECT DISTINCT src AS node FROM sym),
+              walk(node, comp) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node)
+            SELECT node, min(comp) AS component FROM walk GROUP BY node
+        """,
+        "text_token_stats": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split(text,' '), x -> x <> '') AS toks
+                       FROM documents)
+            SELECT doc_id, len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct,
+                   round(CAST(list_reduce(list_prepend(0, [length(x) FOR x IN toks]),
+                                          (a, b) -> a + b) AS DOUBLE)
+                         / greatest(len(toks), 1), 4) AS avg_token_len
+            FROM t
+        """,
+        "text_quality": f"""
+            WITH t AS (SELECT doc_id, text, n_chars,
+                              list_filter(string_split(text,' '), x -> x <> '') AS toks
+                       FROM documents)
+            SELECT doc_id, length(text) AS n_chars_obs, len(toks) AS n_tokens,
+                   round(CAST(len(list_filter(toks, x -> x IN ({_STOPWORDS_SQL}))) AS DOUBLE)
+                         / greatest(len(toks), 1), 4) AS stopword_ratio,
+                   round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                         / greatest(length(text), 1), 4) AS alpha_ratio
+            FROM t
+        """,
+        "text_langid": f"""
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split(text,' '), x -> x <> '') AS toks
+                       FROM documents),
+                 s AS (SELECT doc_id, {lang_scores} FROM t)
+            SELECT doc_id, score_en, score_es, score_de, score_fr, score_zh,
+                   list_sort([{lang_structs}])[5].lang AS pred_lang
+            FROM s
+        """,
+        "text_fingerprint": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split(text,' '), x -> x <> '') AS toks
+                       FROM documents)
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(7 AS BIGINT),
+                                            [CAST(ascii(x) * 1000 + length(x) AS BIGINT)
+                                             FOR x IN toks]),
+                               (a, b) -> (a * 31 + b) % 1000003) AS fingerprint
+            FROM t
+        """,
+        "dedup_exact": """
+            WITH h AS (SELECT doc_id, md5(text) AS digest FROM documents),
+                 s AS (SELECT digest, count(*) AS group_size FROM h GROUP BY digest)
+            SELECT doc_id, h.digest, group_size
+            FROM h JOIN s ON h.digest = s.digest WHERE group_size > 1
+        """,
+        "dedup_jaccard": """
+            WITH t AS (SELECT doc_id, source,
+                              list_distinct(list_filter(string_split(text,' '),
+                                                        x -> x <> '')) AS toks
+                       FROM documents)
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+                         6) AS jaccard
+            FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        """,
+        "embed_knn": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 8),
+                 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+                 s AS (SELECT query_id, neighbor_id,
+                              round(list_cosine_similarity(
+                                CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])), 6) AS cosine
+                       FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM s) WHERE rank <= 5
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS id, length(text) AS n_bytes,
+                   substr(sha256(text), 1, 16) AS sha_prefix
+            FROM documents
+        """,
+    }

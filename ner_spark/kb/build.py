@@ -106,11 +106,17 @@ class KBArtifacts:
 
 
 def compile_kb(spark: SparkSession, rows: list[dict],
-               stop_list: set[str] | None = None) -> KBArtifacts:
+               stop_list: set[str] | None = None,
+               filter_keys: bool = True,
+               add_pronouns: bool = True,
+               add_subname_fragments: bool = True) -> KBArtifacts:
     """Driver-side KB compile + broadcast (rebuilt when the KB snapshot
     changes, the analogue of the ETag/version handshake ner.py:756-810)."""
     bundle = KBBundle.from_rows(rows)
-    namelist = build_namelist(bundle, stop_list=stop_list)
+    namelist = build_namelist(bundle, stop_list=stop_list,
+                              filter_keys=filter_keys,
+                              add_pronouns=add_pronouns,
+                              add_subname_fragments=add_subname_fragments)
     automaton = GazetteerAutomaton.build(namelist.items())
     kb_df = with_static_scores(kb_rows_to_df(spark, rows))
     sc = spark.sparkContext

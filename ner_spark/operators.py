@@ -1,0 +1,68 @@
+"""Reusable relational operators: skew-salting and as-of joins.
+
+``salted_*`` implement the explicit hot-key handling the north rule asks
+for (on top of AQE's runtime skew splitting): the skewed side gets a
+deterministic salt, the small side is replicated ``salt_k`` times, and the
+aggregation happens in two phases so no single reducer sees a whole hot key.
+
+``asof_join`` gives the J4/J5 nearest-predecessor semantics (SURVEY §2.3)
+as a composition of built-ins: union-tag + window ``last(ignorenulls)`` —
+one shuffle on (key, ts), no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def salted_count(df: DataFrame, key: str, salt_k: int = 8) -> DataFrame:
+    """groupBy(key).count() in two phases via an explicit salt; result is
+    identical to the plain aggregation (verified against the SQL oracle) but
+    a hot key is spread over ``salt_k`` reducers in phase 1."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_k)))
+    partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_c"))
+    return partial.groupBy(key).agg(F.sum("_c").alias("cnt"))
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                salt_k: int = 8) -> DataFrame:
+    """Equi-join where ``big`` is skewed on ``key``: big side salted by a
+    row hash, small side exploded ``salt_k``× so every (key, salt) bucket
+    finds its match.  Same rows as ``big.join(small, key)``."""
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_k)))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_k)])))
+    return big_s.join(small_s, [key, "_salt"]).drop("_salt")
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str, right_ts: str,
+              right_vals: list[str]) -> DataFrame:
+    """For each left row: values of the most recent right row with
+    ``right_ts <= left_ts`` in the same ``on`` group (ties: latest right_ts,
+    then the row is already unique per ts in our uses).
+
+    Implementation: tag and union both sides, sort by (ts, side) within the
+    key, carry right values forward with ``last(..., ignorenulls=True)``,
+    keep left rows.  One shuffle; no pandas.
+    """
+    l = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    r = right.withColumn("_side", F.lit(0)).withColumn("_ts", F.col(right_ts))
+    lcols = [c for c in left.columns]
+    assert not (set(lcols) & set(right_vals)), "right_vals must not collide"
+    allcols = sorted(set(lcols) | set(right_vals) | {on})
+    l = l.select(*(
+        [F.col(c) if c in l.columns else F.lit(None).alias(c) for c in allcols]
+        + [F.col("_side"), F.col("_ts")]))
+    r = r.select(*(
+        [F.col(c) if c in r.columns else F.lit(None).alias(c) for c in allcols]
+        + [F.col("_side"), F.col("_ts")]))
+    u = l.unionByName(r)
+    w = (Window.partitionBy(on).orderBy(F.col("_ts"), F.col("_side"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    for v in right_vals:
+        u = u.withColumn(v, F.last(F.when(F.col("_side") == 0, F.col(v)), True).over(w))
+    return u.filter(F.col("_side") == 1).select(*lcols, *right_vals)

