@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: the KG pipeline + curation operators at a given SF.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "throughput": {...}}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] core count (default 32)
+  BENCH_QUERIES       comma-separated subset to run (default: headline set)
+
+The flagship number is the KG-construction pipeline (documents → mentions →
+canonicalized triples) measured as triples/sec; relational/curation queries
+give per-operator timings against the same testdata the DuckDB oracle sees.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "kgc_triples", "kgc_mention_counts", "kgc_comention_pairs",
+    "kgc_connected_components",
+    "tpch_q1", "revenue_by_nation", "top_order_per_customer",
+    "salted_count", "asof_join_events",
+    "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
+    "dedup_exact", "dedup_jaccard", "dedup_minhash", "dedup_simhash",
+    "embed_knn", "embed_lsh", "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    import __spark_entry__ as entrymod
+    from ner_spark.session import get_spark
+
+    spark = get_spark("ner-spark-bench")
+    qs = entrymod.queries()
+    names = [n for n in
+             os.environ.get("BENCH_QUERIES", ",".join(HEADLINE)).split(",")
+             if n in qs]
+
+    # warm the JVM + Python worker pool so per-query numbers measure the
+    # operators, not process spin-up
+    spark.range(0, 1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+
+    total = round(sum(times.values()), 3)
+    throughput = {}
+    if "kgc_triples" in times and times["kgc_triples"] > 0:
+        throughput["triples_per_sec"] = round(
+            rows["kgc_triples"] / times["kgc_triples"], 1)
+    out = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "rows": rows,
+        "throughput": throughput,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -247,6 +247,10 @@ def compute_static_scores(kb: KBBundle) -> None:
     metrics_knowledge_base.py:330-387.  Metrics are normalized by the max of
     the entity's type-set group; backlinks/hits by 0.25·max (capped at 1);
     results rounded to 2 decimals like the reference's "%.2f" storage."""
+    def present(v) -> bool:
+        # 0 is a non-empty TSV cell ("0"); only None/"" count as missing
+        return v is not None and str(v) != ""
+
     n = kb.n_rows()
     groups: dict[str, dict[str, list[float]]] = {}
     desc_len = [0.0] * (n + 1)
@@ -256,11 +260,11 @@ def compute_static_scores(kb: KBBundle) -> None:
         g = groups.setdefault(t, {})
         desc_len[i] = float(len(kb.get_data_for(i, "DESCRIPTION")))
         ncols[i] = float(
-            sum(1 for c in KB_COLUMNS if c != "id" and str(kb.cols[c][i] or "") != "")
+            sum(1 for c in KB_COLUMNS if c != "id" and present(kb.cols[c][i]))
         )
         g.setdefault("columns_number", []).append(ncols[i])
         g.setdefault("description_length", []).append(desc_len[i])
-        if str(kb.cols["wiki_backlinks"][i] or "") != "":
+        if present(kb.cols["wiki_backlinks"][i]):
             g.setdefault("wiki_backlinks", []).append(float(kb.cols["wiki_backlinks"][i]))
             g.setdefault("wiki_hits", []).append(float(kb.cols["wiki_hits"][i]))
             g.setdefault("wiki_ps", []).append(float(kb.cols["wiki_ps"][i]))
@@ -272,7 +276,7 @@ def compute_static_scores(kb: KBBundle) -> None:
         t = kb.get_ent_type(i)
         mx = maxima[t]
         score_wiki = 0.0
-        if str(kb.cols["wiki_backlinks"][i] or "") != "":
+        if present(kb.cols["wiki_backlinks"][i]):
             bl = _norm_cap(float(kb.cols["wiki_backlinks"][i]), 0.25 * mx.get("wiki_backlinks", 0.0))
             ht = _norm_cap(float(kb.cols["wiki_hits"][i]), 0.25 * mx.get("wiki_hits", 0.0))
             ps = _norm_cap(float(kb.cols["wiki_ps"][i]), mx.get("wiki_ps", 0.0))
@@ -395,6 +399,13 @@ def build_namelist(
                 whole = [a for a, nt in aliases.items() if nt not in ("nick", "pseudo")]
                 for sub in get_normalized_subnames(whole, separate_to_names=True):
                     frag.add(re.sub(r"\s+", " ", sub).strip())
+        elif "nationality" in t:
+            # nationality surfaces are fragment-only keys: the reference's
+            # nationality list (NatLoader en.txt) reaches figa via stoplisted
+            # namelist entries keeping only the 'N' link, so the mention is
+            # senseless and the F4 side-channel (entity.py:80-83) can fire
+            for alias, _nt in aliases.items():
+                frag.add(re.sub(r"\s+", " ", alias).strip())
         else:
             for alias, _nt in aliases.items():
                 variants = [alias]

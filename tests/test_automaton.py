@@ -1,0 +1,110 @@
+"""Gazetteer automaton: figa-compatible tokenization + longest-match scan
+(reference semantics: /root/reference/figa/src/figa_cedar.cpp:62-81,
+figa_cedar.tpp:555-616, 906-1069)."""
+
+from ner_spark.semantics.automaton import GazetteerAutomaton, is_delimiter, tokenize
+
+
+def build(*entries):
+    return GazetteerAutomaton.build(entries)
+
+
+def test_delimiters_ascii_only():
+    assert is_delimiter(" ") and is_delimiter(",") and is_delimiter("\x01")
+    assert not is_delimiter("a") and not is_delimiter("0")
+    # non-ASCII is always a word char (C locale)
+    assert not is_delimiter("é") and not is_delimiter("ř") and not is_delimiter("“")
+
+
+def test_tokenize_offsets_and_separators():
+    words = tokenize("New York, USA")
+    assert [(w.text, w.start, w.end) for w in words] == [
+        ("New", 0, 3), ("York", 4, 8), (",", 8, 9), ("USA", 10, 13)]
+    # whitespace gap → " "; adjacent punctuation → ""
+    assert words[0].sep == " "
+    assert words[1].sep == ""      # York and ',' touch
+    assert words[2].sep == " "
+    assert words[3].sep is None    # EOF acts as strong delimiter
+
+
+def test_tokenize_strong_delimiters():
+    words = tokenize("Alpha\nBeta")
+    assert words[0].sep is None  # newline terminates any match path
+
+
+def test_tokenize_uri_rule():
+    words = tokenize("see https://ex.org/a,b?c end")
+    assert [w.text for w in words] == ["see", "https://ex.org/a,b?c", "end"]
+
+
+def test_tokenize_collapsing_whitespace():
+    words = tokenize("a   b")
+    assert words[0].sep == " "
+    assert [w.text for w in words] == ["a", "b"]
+
+
+def test_scan_single_and_multiword():
+    atm = build(("New York", (7,)), ("York", (3,)))
+    ms = atm.scan("in New York today")
+    assert len(ms) == 1
+    m = ms[0]
+    assert (m.start, m.end, m.fragment, m.ids) == (3, 11, "New York", (7,))
+
+
+def test_scan_longest_match_wins_and_consumes():
+    atm = build(("New York", (7,)), ("New York City", (9,)), ("City", (4,)))
+    ms = atm.scan("New York City limits")
+    # longest match consumed all three words → no nested/overlapping match
+    assert [(m.fragment, m.ids) for m in ms] == [("New York City", (9,))]
+
+
+def test_scan_backtracks_to_last_valued_node():
+    atm = build(("New York", (7,)),)
+    # "New York Cit" walks beyond York but must emit the York match
+    ms = atm.scan("New York Cit")
+    assert [(m.start, m.end) for m in ms] == [(0, 8)]
+
+
+def test_scan_stops_at_newline():
+    atm = build(("New York", (7,)),)
+    assert atm.scan("New\nYork") == []
+    assert len(atm.scan("New York")) == 1
+
+
+def test_scan_match_must_start_and_end_at_words():
+    atm = build(("York", (3,)),)
+    ms = atm.scan("NewYork")  # no word boundary before York
+    assert ms == []
+
+
+def test_scan_multiple_ids_order_kept():
+    atm = build(("Washington", (5, 2, 0)),)
+    ms = atm.scan("Washington spoke")
+    assert ms[0].ids == (5, 2, 0)  # namelist order preserved (SURVEY §1.4.4)
+
+
+def test_scan_punctuation_adjacent():
+    atm = build(("U.S.", (11,)),)
+    ms = atm.scan("the U.S. army")
+    assert [(m.start, m.end, m.fragment) for m in ms] == [(4, 8, "U.S.")]
+
+
+def test_scan_unicode_offsets_in_chars():
+    atm = build(("Dvořák", (1,)),)
+    ms = atm.scan("Antonín Dvořák composed")
+    assert [(m.start, m.end) for m in ms] == [(8, 14)]  # chars, not bytes
+
+
+def test_reflexive_roundtrip(artifacts):
+    """Every namelist key fed back through the automaton must yield exactly
+    one match spanning the whole key with exactly its links — the same
+    contract as the reference's self-test (figa/test_figa.py:85-98)."""
+    atm = artifacts.automaton
+    n = 0
+    for key, ids in atm.iter_keys():
+        ms = atm.scan(key)
+        assert len(ms) == 1, key
+        assert (ms[0].start, ms[0].end) == (0, len(key)), key
+        assert ms[0].ids == ids, key
+        n += 1
+    assert n == atm.n_keys and n > 100

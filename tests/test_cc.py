@@ -1,0 +1,47 @@
+"""Connected components vs a driver-side union-find oracle."""
+
+import random
+
+
+def _oracle_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress to the minimum label
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, edges):
+    from ner_spark.pipeline.cc import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    want = _oracle_components([(a, b) for a, b in edges if a != b])
+    assert got == want
+
+
+def test_cc_simple_chain(spark):
+    _check(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+
+
+def test_cc_long_chain_exceeding_one_round(spark):
+    _check(spark, [(i, i + 1) for i in range(1, 40)])
+
+
+def test_cc_random_graph(spark):
+    rng = random.Random(7)
+    edges = [(rng.randint(1, 120), rng.randint(1, 120)) for _ in range(180)]
+    _check(spark, edges)
+
+
+def test_cc_self_loops_ignored(spark):
+    _check(spark, [(5, 5), (1, 2), (2, 2)])

@@ -1,0 +1,75 @@
+"""Date detection parity with reference /root/reference/libs/dates.py
+(Czech month alternation even for EN, confidence 100/80, interval split)."""
+
+from ner_spark.semantics.dates import ISODate, find_dates
+
+
+def one(text):
+    ds = find_dates(text)
+    assert len(ds) == 1, ds
+    return ds[0]
+
+
+def test_iso_date_format():
+    d = one("born 1999-12-28 in Prague")
+    assert d.iso == ISODate(1999, 12, 28)
+    assert d.iso.iso() == "1999-12-28"
+    assert d.confidence == 100
+    assert (d.start, d.end) == (5, 15)
+
+
+def test_slash_date_dayfirst_unsure():
+    d = one("on 12/11/1694 it rained")
+    assert d.iso == ISODate(1694, 11, 12)  # dayfirst
+    assert d.confidence == 80
+
+
+def test_dotted_date():
+    d = one("dne 12. 11. 1694 began")
+    assert d.iso == ISODate(1694, 11, 12)
+    assert d.confidence == 80
+
+
+def test_bare_year_unsure():
+    d = one("in 1693 the war")
+    assert d.iso == ISODate(1693)
+    assert d.iso.show_without_zeros() == "1693"
+    assert d.confidence == 80
+
+
+def test_year_interval_splits():
+    ds = find_dates("reigned 1693-1734 well")
+    assert len(ds) == 2
+    (a, b) = ds
+    assert a.iso == ISODate(1693) and b.iso == ISODate(1734)
+    assert a.is_interval_part and b.is_interval_part
+    assert (a.start, a.end) == (8, 12) and (b.start, b.end) == (13, 17)
+
+
+def test_czech_month_matches():
+    d = one("16. listopadu 2003 x")
+    assert d.iso == ISODate(2003, 11, 16)
+    assert d.confidence == 100
+
+
+def test_english_month_words_not_matched():
+    # EN month words are NOT in the alternation (SURVEY §1.4.6); only the
+    # year matches as a bare-year pattern
+    ds = find_dates("on 16 November 2003 meeting")
+    assert [d.source for d in ds] == ["2003"]
+
+
+def test_many_dashes_not_interval():
+    ds = find_dates("code 1999-12-28 end")  # 2 dashes → not interval
+    assert len(ds) == 1 and ds[0].iso == ISODate(1999, 12, 28)
+
+
+def test_no_date_in_digit_run():
+    assert find_dates("id 123456789 x") == []
+
+
+def test_month_year_only():
+    d = one("v listopad 2003 konec")
+    assert d.iso == ISODate(2003, 11, 0)
+    assert d.iso.show_without_zeros() == "2003-11"
+    assert d.iso.iso() == "2003-11-00"

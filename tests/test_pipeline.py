@@ -1,0 +1,99 @@
+"""Spark pipeline vs the single-document oracle: the parity gate
+(BASELINE.json: mention-link P/R ≥ 0.95 on a held-out page set) plus triple
+emission and canonicalization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_spark.semantics.recognize import recognize
+
+
+def _oracle_mentions(kb_rows, pages, artifacts):
+    bundle = artifacts.bundle
+    atm = artifacts.automaton
+    out = set()
+    for p in pages:
+        for r in recognize(bundle, atm, p["text"]):
+            out.add((p["url"], r["start"], r["end"], r["kind"],
+                     r["sense"], r["iso"]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark, pages_rows):
+    return spark.createDataFrame(
+        [(p["url"], p["warc_ts"], p["html"], p["text"], p["lang"])
+         for p in pages_rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+
+
+def test_extract_mentions_parity(spark, kb_rows, pages_rows, pages_df, artifacts):
+    """Every mention the Spark pipeline emits must match the oracle — the
+    held-out pages (last 20) are never used for tuning.  P/R computed
+    mention-link-wise; target ≥0.95, expected 1.0."""
+    from ner_spark.pipeline.ner import extract_mentions
+
+    got = {(r.url, r.start, r.end, r.kind, r.sense, r.iso)
+           for r in extract_mentions(pages_df, artifacts).collect()}
+    want = _oracle_mentions(kb_rows, pages_rows, artifacts)
+    tp = len(got & want)
+    precision = tp / len(got) if got else 1.0
+    recall = tp / len(want) if want else 1.0
+    assert len(want) > 200, "fixture too small to be meaningful"
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    assert got == want  # same semantics modules → exact match expected
+
+
+def test_mentions_have_kb_coref_date_kinds(spark, pages_df, artifacts):
+    from ner_spark.pipeline.ner import extract_mentions
+
+    kinds = {r.kind for r in
+             extract_mentions(pages_df, artifacts).select("kind").distinct().collect()}
+    assert {"kb", "coref", "date"} <= kinds
+
+
+def test_triples_schema_and_canonicalization(spark, pages_df, artifacts):
+    from ner_spark.pipeline.ner import extract_mentions
+    from ner_spark.pipeline.triples import build_triples, sameas_mapping
+
+    mentions = extract_mentions(pages_df, artifacts).persist()
+    triples = build_triples(mentions, artifacts.kb_df).persist()
+    assert triples.columns == ["subj", "pred", "obj", "weight"]
+    preds = {r.pred for r in triples.select("pred").distinct().collect()}
+    assert {"mentions", "rdf:type", "coMentionedWith"} <= preds
+    # canonicalization: no subject/object may remain that sameAs-maps away
+    mapping = sameas_mapping(artifacts.kb_df)
+    noncanon = {f"e:{r.node}" for r in
+                mapping.filter("node <> component").collect()}
+    if noncanon:
+        assert "sameAs" in preds
+        bad = triples.filter(
+            (F.col("pred") != "sameAs")
+            & (F.col("subj").isin(list(noncanon))
+               | F.col("obj").isin(list(noncanon)))).count()
+        assert bad == 0
+    mentions.unpersist()
+    triples.unpersist()
+
+
+def test_comention_edges_symmetric_ordering(spark, pages_df, artifacts):
+    from ner_spark.pipeline.ner import extract_mentions
+    from ner_spark.pipeline.triples import comention_edges
+
+    mentions = extract_mentions(pages_df, artifacts)
+    edges = comention_edges(mentions).collect()
+    assert edges
+    for e in edges:
+        # canonical numeric ordering: id(e1) < id(e2)
+        assert int(e.subj[2:]) < int(e.obj[2:])
+        assert e.weight >= 1
+
+
+def test_run_pipeline_end_to_end(spark, kb_rows, pages_df, tmp_path):
+    from ner_spark.pipeline.run import run_pipeline
+
+    res = run_pipeline(spark, pages_df, kb_rows, out_path=str(tmp_path),
+                       n_buckets=8)
+    assert res.manifest is not None
+    written = spark.read.parquet(str(tmp_path / "triples"))
+    assert written.count() == res.triples.count()

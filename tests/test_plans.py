@@ -1,0 +1,97 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must be
+visible in the executed plan — pushdown, pruning, broadcast, codegen."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def parquet_pages(spark, pages_rows, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pages") / "pages.parquet")
+    spark.createDataFrame(
+        [(x["url"], x["warc_ts"], x["html"], x["text"], x["lang"])
+         for x in pages_rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.mode("overwrite").parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_column_pruning_reaches_scan(spark, parquet_pages, artifacts):
+    """ReadSchema of the parquet scan must exclude html/warc_ts/lang."""
+    from ner_spark.pipeline.ner import extract_mentions
+
+    plan = _plan(extract_mentions(parquet_pages, artifacts))
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "url" in read_schema and "text" in read_schema
+    assert "html" not in read_schema and "warc_ts" not in read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark, parquet_pages):
+    df = parquet_pages.filter(F.col("lang") == "en").select("url")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "lang" in pushed
+
+
+def test_kb_join_is_broadcast(spark, sf_dir):
+    """The KB-shaped small side must broadcast, never shuffle the big side."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey) \
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    plan = _plan(j)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_extract_mentions_zero_shuffle(spark, parquet_pages, artifacts):
+    """pages → mentions is one narrow stage: no Exchange in the plan."""
+    from ner_spark.pipeline.ner import extract_mentions
+
+    plan = _plan(extract_mentions(parquet_pages, artifacts))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_sanitize_is_whole_stage_codegen(spark, parquet_pages):
+    from ner_spark.pipeline.ner import sanitized_pages
+
+    plan = _plan(sanitized_pages(parquet_pages))
+    # whole-stage-codegen'd operators are printed with the "*(n)" prefix
+    assert plan.lstrip().startswith("*(")
+
+
+def test_canonicalize_broadcasts_mapping(spark):
+    from ner_spark.pipeline.triples import canonicalize
+
+    triples = spark.range(0, 1000).select(
+        F.concat(F.lit("e:"), F.col("id").cast("string")).alias("subj"),
+        F.lit("p").alias("pred"), F.lit("x").alias("obj"))
+    mapping = spark.createDataFrame([(5, 1), (7, 1)], "node long, component long")
+    plan = _plan(canonicalize(triples, mapping))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregate_partial_pushdown(spark, sf_dir):
+    """groupBy count compiles to partial_count + final count (map-side
+    combine) — the property that absorbs Zipf mention skew."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = _plan(li.groupBy("l_returnflag").count())
+    assert "partial_count" in plan
+
+
+def test_arrow_enabled(spark):
+    assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -1,0 +1,99 @@
+"""Text-curation operators: dedup (exact / jaccard / minhash / simhash) and
+analysis (tokens, quality, lang-id, fingerprint)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_spark.textops.analysis import (FP_MOD, fingerprint, lang_id,
+                                        quality_score, token_stats)
+from ner_spark.textops.dedup import (exact_duplicates, jaccard_pairs,
+                                     minhash_lsh_pairs, minhash_signatures,
+                                     simhash_near_dups, simhash_signatures)
+
+DOCS = [
+    (1, "a", "the cat sat on the mat and looked at the dog"),
+    (2, "a", "the cat sat on the mat and looked at a bird"),   # near-dup of 1
+    (3, "a", "completely different words appear in this one sentence"),
+    (4, "b", "the cat sat on the mat and looked at the dog"),  # exact dup of 1
+    (5, "b", "quantum chromodynamics lattice computations diverge slowly"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, source string, text string")
+
+
+def test_exact_duplicates(docs_df):
+    got = {(r.doc_id, r.group_size) for r in exact_duplicates(docs_df).collect()}
+    assert got == {(1, 2), (4, 2)}
+
+
+def test_jaccard_pairs_blocked(docs_df):
+    out = {(r.id1, r.id2): r.jaccard for r in
+           jaccard_pairs(docs_df, block_col="source", threshold=0.5).collect()}
+    assert (1, 2) in out and out[(1, 2)] > 0.5
+    assert (1, 3) not in out
+    assert (1, 4) not in out  # different block — blocking respected
+
+
+def test_minhash_exact_dup_sig_identical(docs_df):
+    sigs = {r.doc_id: tuple(r.sig) for r in
+            minhash_signatures(docs_df).collect()}
+    assert sigs[1] == sigs[4]
+    # near-dup signatures mostly agree; distinct docs mostly disagree
+    agree_near = sum(a == b for a, b in zip(sigs[1], sigs[2])) / len(sigs[1])
+    agree_far = sum(a == b for a, b in zip(sigs[1], sigs[5])) / len(sigs[1])
+    assert agree_near > 0.4 > agree_far
+
+
+def test_minhash_lsh_pairs_finds_near_dups(docs_df):
+    got = {(r.id1, r.id2) for r in
+           minhash_lsh_pairs(docs_df, threshold=0.4).collect()}
+    assert (1, 4) in got  # exact dup always survives
+    assert (1, 2) in got or (2, 4) in got  # near-dup found via banding
+    assert (3, 5) not in got
+
+
+def test_simhash_near_dups(docs_df):
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs_df).collect()}
+    assert sigs[1] == sigs[4]
+    got = {(r.id1, r.id2): r.hamming for r in
+           simhash_near_dups(docs_df, max_hamming=16).collect()}
+    assert got.get((1, 4)) == 0
+    if (1, 2) in got:
+        assert got[(1, 2)] <= 16
+
+
+def test_token_stats_oracle(docs_df):
+    r = {x.doc_id: x for x in token_stats(docs_df).collect()}
+    toks = DOCS[0][2].split()
+    assert r[1].n_tokens == len(toks)
+    assert r[1].n_distinct == len(set(toks))
+    assert r[1].avg_token_len == pytest.approx(
+        round(sum(map(len, toks)) / len(toks), 4))
+
+
+def test_quality_score_ranges(docs_df):
+    for r in quality_score(docs_df).collect():
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 <= r.alpha_ratio <= 1.0
+    r1 = {x.doc_id: x for x in quality_score(docs_df).collect()}[1]
+    assert r1.stopword_ratio > 0.2  # 'the'/'at'/'and'/'on' heavy
+
+
+def test_lang_id_marker_words(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house is big"),
+         (2, "el perro de la casa que los gatos"),
+         (3, "der hund und die katze das ist gut")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "de"}
+
+
+def test_fingerprint_deterministic_and_sensitive(docs_df):
+    fps = {r.doc_id: r.fingerprint for r in fingerprint(docs_df).collect()}
+    assert fps[1] == fps[4]
+    assert fps[1] != fps[2]
+    assert all(0 <= v < FP_MOD for v in fps.values())
