@@ -118,7 +118,9 @@ def compile_kb(spark: SparkSession, rows: list[dict],
                               add_pronouns=add_pronouns,
                               add_subname_fragments=add_subname_fragments)
     automaton = GazetteerAutomaton.build(namelist.items())
-    kb_df = with_static_scores(kb_rows_to_df(spark, rows))
+    # cache: the triple builder reads the scored KB from several branches
+    # (types, attributes, redirects); one materialization serves them all
+    kb_df = with_static_scores(kb_rows_to_df(spark, rows)).cache()
     sc = spark.sparkContext
     return KBArtifacts(
         kb_df=kb_df,

@@ -20,16 +20,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(spark, pairs) -> DataFrame:
+    """Exact same result as the distributed loop, for small edge sets."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows or [], "node long, component long")
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iter: int = 40) -> DataFrame:
+                         max_iter: int = 40,
+                         driver_threshold: int = 200_000) -> DataFrame:
     """→ (node long, component long) with component = min node id reachable.
 
+    Hybrid: edge sets under ``driver_threshold`` are solved with a driver
+    union-find (the alias/redirect graph is KB-sized — tiny next to the
+    corpus — and the iterative loop's ~2·rounds Spark jobs dominate its
+    runtime there); larger graphs run the distributed pointer-jumping loop.
     Raises RuntimeError if ``max_iter`` rounds do not converge (2^40-diameter
     graphs do not occur in practice; silent truncation would corrupt the
     canonical mapping).
     """
     e = edges.select(F.col(src).cast("long").alias("src"),
                      F.col(dst).cast("long").alias("dst")).filter("src <> dst")
+    if driver_threshold:
+        head = e.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            return _driver_union_find(edges.sparkSession,
+                                      [(r.src, r.dst) for r in head])
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     sym = sym.localCheckpoint()
     labels = (

@@ -59,25 +59,25 @@ def type_triples(kb_df: DataFrame) -> DataFrame:
 
 def attribute_triples(kb_df: DataFrame) -> DataFrame:
     """KB attribute predicates; multivalue columns exploded on '|'
-    (KB_MULTIVALUE_DELIM, ner/configs.py:14)."""
-    singles = None
-    for attr in _SINGLE_ATTRS:
-        part = (
-            kb_df.filter(F.coalesce(F.col(attr), F.lit("")) != "")
-            .select(_e(F.col("id")).alias("subj"), F.lit(attr).alias("pred"),
-                    F.col(attr).alias("obj"))
-        )
-        singles = part if singles is None else singles.unionByName(part)
-    multis = None
-    for attr in _MULTI_ATTRS:
-        part = (
-            kb_df.filter(F.coalesce(F.col(attr), F.lit("")) != "")
-            .select(_e(F.col("id")).alias("subj"), F.lit(attr).alias("pred"),
-                    F.explode(F.split(F.col(attr), r"\|")).alias("obj"))
-            .filter(F.col("obj") != "")
-        )
-        multis = part if multis is None else multis.unionByName(part)
-    return singles.unionByName(multis)
+    (KB_MULTIVALUE_DELIM, ner/configs.py:14).
+
+    Single-pass: one (pred, objs) struct array per row, exploded twice —
+    ONE scan of the KB instead of a 16-branch union that re-reads (and at
+    scale re-shuffles) the KB per attribute."""
+    po = [
+        F.struct(F.lit(a).alias("pred"), F.array(F.col(a)).alias("objs"))
+        for a in _SINGLE_ATTRS
+    ] + [
+        F.struct(F.lit(a).alias("pred"), F.split(F.col(a), r"\|").alias("objs"))
+        for a in _MULTI_ATTRS
+    ]
+    return (
+        kb_df.select(_e(F.col("id")).alias("subj"),
+                     F.explode(F.array(*po)).alias("po"))
+        .select("subj", F.col("po.pred").alias("pred"),
+                F.explode("po.objs").alias("obj"))
+        .filter(F.coalesce(F.col("obj"), F.lit("")) != "")
+    )
 
 
 def comention_edges(mentions: DataFrame) -> DataFrame:

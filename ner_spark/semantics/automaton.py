@@ -21,21 +21,30 @@ CEDAR tries).  Reproduces the observable semantics of the reference's
   - offsets are in characters; this module emits 0-based half-open
     [start, end) spans, i.e. already in the form ner.py:426 converts to.
 
-The automaton is built once on the driver from the namelist and broadcast
-to executors (the Spark analogue of the reference's memory-mapped ``.dct``
-automaton file, figa/src/figa.cpp:22-31).  Link values are KB row ids;
-id 0 marks a pronoun / name-fragment key (ner.py:417 BNF comment: "řádek 0
-značí zájmeno – coreference"; 'N' fragment links, uniq_namelist.py:104-107).
+Physical design (performance, not semantics): instead of walking a char
+trie dict-per-node, keys are stored as *word-boundary path strings* —
+``keys[path] → ids`` plus a ``prefixes`` set holding every word-boundary
+prefix of every key and a ``first`` index of key-initial words.  The scan
+tokenizes once (compiled regex, C speed), skips any word that starts no
+key via one dict probe, and otherwise extends the path word-by-word with
+O(1) hash lookups.  This is observably equivalent to the char-trie walk:
+values can only exist at word ends, and a path that is neither a key nor
+a stored prefix can never be completed (same backtrack point as the trie).
+The structure pickles compactly → ``sparkContext.broadcast`` (the Spark
+analogue of the reference's memory-mapped ``.dct`` automaton file,
+figa/src/figa.cpp:22-31).  Link values are KB row ids; id 0 marks a
+pronoun / name-fragment key (ner.py:417; 'N' links uniq_namelist.py:104-107).
 """
 
 from __future__ import annotations
 
+import re
 import string
 from typing import Iterable, Iterator, NamedTuple
 
 _ASCII_SPACE = set(" \t\n\r\v\f")
 _ASCII_PUNCT = set(string.punctuation)
-_STRONG = set("\n\r")
+_STRONG = ("\n", "\r")
 
 
 def _is_cntrl(c: str) -> bool:
@@ -46,6 +55,16 @@ def _is_cntrl(c: str) -> bool:
 def is_delimiter(c: str) -> bool:
     """C-locale isspace|ispunct|iscntrl, ASCII only (figa_cedar.cpp:62-67)."""
     return c in _ASCII_SPACE or c in _ASCII_PUNCT or (ord(c) < 0x80 and _is_cntrl(c))
+
+
+# word = URI (http:/https:-led, swallows punct until space/cntrl)
+#      | run of non-delimiter chars | single punctuation char
+_PUNCT_CLASS = re.escape(string.punctuation)
+_TOKEN_RE = re.compile(
+    r"(?:https?:[^\x00-\x20\x7f]*)"
+    rf"|(?:[^\x00-\x20\x7f{_PUNCT_CLASS}]+)"
+    rf"|[{_PUNCT_CLASS}]"
+)
 
 
 class Word(NamedTuple):
@@ -59,51 +78,25 @@ class Word(NamedTuple):
 def tokenize(text: str) -> list[Word]:
     """Split text into figa words with offsets and inter-word separators.
 
-    A word is either a maximal run of non-delimiter chars (URI rule may
-    extend it through punctuation) or a single punctuation char.  The
-    separator between adjacent words is "" when they touch, " " when only
-    space-like chars lie between (runs collapse: the reference consumes one
-    delimiter per break and skips empty words, figa_cedar.tpp:986-1003), and
-    None when the gap contains a strong delimiter '\\n'/'\\r'.  The final
-    word gets None (EOF acts as '\\n', figa_cedar.tpp:1007).
+    The separator between adjacent words is "" when they touch, " " when
+    only space-like chars lie between (runs collapse: the reference consumes
+    one delimiter per break and skips empty words, figa_cedar.tpp:986-1003),
+    and None when the gap contains a strong delimiter '\\n'/'\\r'.  The
+    final word gets None (EOF acts as '\\n', figa_cedar.tpp:1007).
     """
-    spans: list[tuple[str, int, int]] = []
-    n = len(text)
-    i = 0
-    while i < n:
-        c = text[i]
-        if c in _ASCII_PUNCT:
-            spans.append((c, i, i + 1))
-            i += 1
-            continue
-        if is_delimiter(c):
-            i += 1
-            continue
-        start = i
-        is_uri = False
-        while i < n:
-            c = text[i]
-            if not is_uri and c == ":" and text[start:i] in ("http", "https"):
-                is_uri = True
-            if is_uri:
-                if c in _ASCII_SPACE or (ord(c) < 0x80 and _is_cntrl(c)):
-                    break
-            elif is_delimiter(c):
-                break
-            i += 1
-        spans.append((text[start:i], start, i))
+    spans = [(m.group(), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
     words: list[Word] = []
+    last = len(spans) - 1
     for k, (w, s, e) in enumerate(spans):
-        if k + 1 == len(spans):
+        if k == last:
             sep: str | None = None
         else:
-            gap = text[e : spans[k + 1][1]]
-            if not gap:
+            nxt = spans[k + 1][1]
+            if nxt == e:
                 sep = ""
-            elif any(g in _STRONG for g in gap):
-                sep = None
             else:
-                sep = " "
+                gap = text[e:nxt]
+                sep = None if ("\n" in gap or "\r" in gap) else " "
         words.append(Word(w, s, e, sep))
     return words
 
@@ -116,19 +109,16 @@ class Match(NamedTuple):
 
 
 class GazetteerAutomaton:
-    """Char-trie with a token-anchored longest-match walk.
-
-    Nodes are plain dicts (picklable → ``sparkContext.broadcast``-able).
-    ``_VAL`` keys the link list of a complete key.  The match path between
-    words inserts the word separator (" " or "") exactly as the reference's
-    trie traverses ``word_delimiter`` (figa_cedar.tpp:1022-1027).
-    """
-
-    _VAL = 0  # int key cannot collide with single-char str edges
+    """Word-hash gazetteer with a token-anchored longest-match walk."""
 
     def __init__(self) -> None:
-        self.root: dict = {}
-        self.n_keys = 0
+        self.keys: dict[str, tuple[int, ...]] = {}   # path → ids
+        self.prefixes: set[str] = set()              # word-boundary prefixes
+        self.first: dict[str, bool] = {}             # key-initial words
+
+    @property
+    def n_keys(self) -> int:
+        return len(self.keys)
 
     @classmethod
     def build(cls, namelist: Iterable[tuple[str, Iterable[int]]]) -> "GazetteerAutomaton":
@@ -138,51 +128,49 @@ class GazetteerAutomaton:
         return atm
 
     def add(self, key: str, ids: Iterable[int]) -> None:
-        node = self.root
-        for c in key:
-            node = node.setdefault(c, {})
-        if self._VAL not in node:
-            self.n_keys += 1
-        node[self._VAL] = tuple(ids)
-
-    def _descend(self, node: dict, s: str) -> dict | None:
-        for c in s:
-            node = node.get(c)
-            if node is None:
-                return None
-        return node
+        words = tokenize(key)
+        if not words:
+            return
+        if any(w.sep is None for w in words[:-1]):
+            return  # key contains a strong delimiter → unmatchable
+        path = words[0].text
+        self.first[path] = True
+        parts = [path]
+        for w0, w1 in zip(words, words[1:]):
+            self.prefixes.add("".join(parts))
+            parts.append(w0.sep)  # type: ignore[arg-type]
+            parts.append(w1.text)
+        self.keys["".join(parts)] = tuple(ids)
 
     def scan(self, text: str) -> list[Match]:
         """Longest-match, non-overlapping scan; matches start/end at words."""
         words = tokenize(text)
         out: list[Match] = []
-        root = self.root
-        VAL = self._VAL
+        keys = self.keys
+        prefixes = self.prefixes
+        first = self.first
         nw = len(words)
         i = 0
         while i < nw:
             w = words[i]
-            node = root.get(w.text[0]) if w.text else None
-            if node is None:
+            if w.text not in first:
                 i += 1
                 continue
-            node = self._descend(node, w.text[1:])
+            path = w.text
+            j = i
             best_j = -1
             best_ids: tuple[int, ...] | None = None
-            j = i
-            while node is not None:
-                val = node.get(VAL)
-                if val is not None:
-                    best_j, best_ids = j, val
+            while True:
+                ids = keys.get(path)
+                if ids is not None:
+                    best_j, best_ids = j, ids
+                if path not in prefixes:
+                    break
                 sep = words[j].sep
                 if sep is None or j + 1 >= nw:
                     break
-                if sep:
-                    node = self._descend(node, sep)
-                    if node is None:
-                        break
                 j += 1
-                node = self._descend(node, words[j].text)
+                path = path + sep + words[j].text
             if best_ids is not None:
                 start = w.start
                 end = words[best_j].end
@@ -193,13 +181,6 @@ class GazetteerAutomaton:
         return out
 
     def iter_keys(self) -> Iterator[tuple[str, tuple[int, ...]]]:
-        """Yield (key, ids) — used by the reflexive round-trip test, the same
-        contract as figa/test_figa.py:85-98."""
-        stack: list[tuple[dict, str]] = [(self.root, "")]
-        while stack:
-            node, prefix = stack.pop()
-            for k, v in node.items():
-                if k == self._VAL:
-                    yield prefix, v
-                else:
-                    stack.append((v, prefix + k))
+        """Yield (key path, ids) — used by the reflexive round-trip test,
+        the same contract as figa/test_figa.py:85-98."""
+        yield from self.keys.items()

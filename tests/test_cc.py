@@ -24,9 +24,14 @@ def _check(spark, edges):
     from ner_spark.pipeline.cc import connected_components
 
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r.node: r.component for r in connected_components(df).collect()}
     want = _oracle_components([(a, b) for a, b in edges if a != b])
+    # driver union-find fast path
+    got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == want
+    # distributed pointer-jumping loop (force it)
+    got_d = {r.node: r.component for r in
+             connected_components(df, driver_threshold=0).collect()}
+    assert got_d == want
 
 
 def test_cc_simple_chain(spark):
