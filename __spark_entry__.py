@@ -27,7 +27,8 @@ from ner_spark.pipeline.cc import connected_components
 from ner_spark.pipeline.triples import build_triples, comention_edges
 from ner_spark.similarity.ann import brute_force_topk, lsh_topk
 from ner_spark.textops.analysis import (fingerprint, lang_id, quality_score,
-                                        token_stats)
+                                        token_stats, tokens_col,
+                                        word_frequency)
 from ner_spark.textops.dedup import (exact_duplicates, jaccard_pairs,
                                      minhash_lsh_pairs, simhash_near_dups)
 from ner_spark.multimodal.binary import featurize
@@ -116,6 +117,15 @@ def q_kgc_mention_counts(spark, sf_dir):
                 .agg(F.count(F.lit(1)).alias("n_mentions"))
 
 
+def q_kgc_mention_kb_join(spark, sf_dir):
+    """J1: candidate explode + broadcast hash join with the KB (SURVEY §2.3)."""
+    art = compile_dockb(spark)
+    scans = scan_mentions(_docs_as_pages(spark, sf_dir), art)
+    exploded = scans.select("url", F.explode("ids").alias("id"))
+    j = exploded.join(F.broadcast(art.kb_df.select("id", "type")), "id")
+    return j.groupBy("type").agg(F.count(F.lit(1)).alias("n_mentions"))
+
+
 def q_kgc_comention_pairs(spark, sf_dir):
     art = compile_dockb(spark)
     mentions = extract_mentions(_docs_as_pages(spark, sf_dir), art)
@@ -152,6 +162,15 @@ def q_text_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_word_frequency(spark, sf_dir):
+    wc = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col("text")).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("count"))
+    )
+    return word_frequency(wc)
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -166,7 +185,7 @@ def q_dedup_minhash(spark, sf_dir):  # rows-only (driver)
 
 
 def q_dedup_simhash(spark, sf_dir):  # rows-only (driver)
-    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=16)
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=8)
 
 
 def q_embed_knn(spark, sf_dir):
@@ -194,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_count": q_salted_count,
         "asof_join_events": q_asof_join_events,
         "kgc_mention_counts": q_kgc_mention_counts,
+        "kgc_mention_kb_join": q_kgc_mention_kb_join,
         "kgc_comention_pairs": q_kgc_comention_pairs,
         "kgc_triples": q_kgc_triples,
         "kgc_connected_components": q_kgc_connected_components,
@@ -201,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "word_frequency": q_word_frequency,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -298,6 +319,11 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_TOKS}) WHERE tok IN ({surfaces_in_list_sql()})
             GROUP BY tok
         """,
+        "kgc_mention_kb_join": f"""
+            SELECT type, count(*) AS n_mentions
+            FROM ({_kgc_matches()}) m JOIN {_kb_values()} ON m.id = kb.id
+            GROUP BY type
+        """,
         "kgc_comention_pairs": f"""
             WITH m AS ({_kgc_matches()}),
                  d AS (SELECT DISTINCT url, id FROM m)
@@ -375,6 +401,25 @@ def oracle_sql() -> dict[str, str]:
                                              FOR x IN toks]),
                                (a, b) -> (a * 31 + b) % 1000003) AS fingerprint
             FROM t
+        """,
+        "word_frequency": f"""
+            WITH t AS ({_TOKS}),
+                 w AS (SELECT tok AS word, count(*) AS cnt FROM t GROUP BY tok),
+                 s AS (SELECT lower(word) AS base, sum(cnt) AS all_sum,
+                              sum(CASE WHEN word = lower(word)
+                                        OR word = upper(substr(word,1,1)) || lower(substr(word,2))
+                                       THEN cnt ELSE 0 END) AS uplow_sum
+                       FROM w GROUP BY base)
+            SELECT word,
+                   round(CAST(cnt AS DOUBLE) / all_sum, 6) AS all_measure,
+                   CASE WHEN uplow_sum > 0 AND (word = lower(word)
+                             OR word = upper(substr(word,1,1)) || lower(substr(word,2)))
+                        THEN round(CAST(cnt AS DOUBLE) / uplow_sum, 6)
+                        ELSE 0.0 END AS uplow_measure,
+                   (uplow_sum > 0 AND (word = lower(word)
+                        OR word = upper(substr(word,1,1)) || lower(substr(word,2)))
+                    AND CAST(cnt AS DOUBLE) / uplow_sum >= 0.5) AS capital_dominant
+            FROM w JOIN s ON lower(word) = base
         """,
         "dedup_exact": """
             WITH h AS (SELECT doc_id, md5(text) AS digest FROM documents),

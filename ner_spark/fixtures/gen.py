@@ -172,45 +172,55 @@ def _zipf_pick(rng: random.Random, items: list, a: float = 1.3):
             return items[r]
 
 
+def _kb_pools(kb_rows: list[dict]) -> dict:
+    return {
+        "persons": [r for r in kb_rows if r["type"].startswith("person")],
+        "geos": [r for r in kb_rows if r["type"].startswith("geo")],
+        "orgs": [r for r in kb_rows if r["type"] == "organization"],
+        "events": [r for r in kb_rows if r["type"] == "event"],
+        "nats": [r for r in kb_rows if r["type"] == "nationality"],
+    }
+
+
+def _gen_page_text(rng: random.Random, pools: dict) -> str:
+    n_pars = rng.randint(2, 5)
+    pars = []
+    for _ in range(n_pars):
+        n_sents = rng.randint(2, 6)
+        sents = []
+        for _ in range(n_sents):
+            if rng.random() < 0.15:
+                sents.append(rng.choice(_DISTRACTORS))
+                continue
+            t = rng.choice(_SENT_TEMPLATES)
+            p = _zipf_pick(rng, pools["persons"])
+            p2 = _zipf_pick(rng, pools["persons"])
+            g = _zipf_pick(rng, pools["geos"])
+            g2 = _zipf_pick(rng, pools["geos"])
+            o = _zipf_pick(rng, pools["orgs"])
+            e = _zipf_pick(rng, pools["events"])
+            nat = rng.choice(pools["nats"])
+            year = rng.randint(1600, 2020)
+            date = f"{rng.randint(1700, 1990):04d}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
+            surface = p["name"]
+            if rng.random() < 0.35:
+                surface = p["name"].split()[-1]  # surname-only → coref path
+            sents.append(t.format(
+                p=surface, p2=p2["name"], g=g["name"], g2=g2["name"],
+                o=o["name"], e=e["name"], nat=nat["name"],
+                natpl=nat["name"] + "s", year=year, date=date,
+                job=p["jobs"].split("|")[0]))
+        pars.append(" ".join(sents))
+    return "\n\n".join(pars)
+
+
 def gen_pages(kb_rows: list[dict], n_pages: int = 200, seed: int = 42) -> list[dict]:
     """Pages rows (url, warc_ts, html, text, lang) with Zipf entity mentions."""
     rng = random.Random(seed + 1)
-    persons = [r for r in kb_rows if r["type"].startswith("person")]
-    geos = [r for r in kb_rows if r["type"].startswith("geo")]
-    orgs = [r for r in kb_rows if r["type"] == "organization"]
-    events = [r for r in kb_rows if r["type"] == "event"]
-    nats = [r for r in kb_rows if r["type"] == "nationality"]
+    pools = _kb_pools(kb_rows)
     pages = []
     for i in range(n_pages):
-        n_pars = rng.randint(2, 5)
-        pars = []
-        for _ in range(n_pars):
-            n_sents = rng.randint(2, 6)
-            sents = []
-            for _ in range(n_sents):
-                if rng.random() < 0.15:
-                    sents.append(rng.choice(_DISTRACTORS))
-                    continue
-                t = rng.choice(_SENT_TEMPLATES)
-                p = _zipf_pick(rng, persons)
-                p2 = _zipf_pick(rng, persons)
-                g = _zipf_pick(rng, geos)
-                g2 = _zipf_pick(rng, geos)
-                o = _zipf_pick(rng, orgs)
-                e = _zipf_pick(rng, events)
-                nat = rng.choice(nats)
-                year = rng.randint(1600, 2020)
-                date = f"{rng.randint(1700, 1990):04d}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
-                surface = p["name"]
-                if rng.random() < 0.35:
-                    surface = p["name"].split()[-1]  # surname-only → coref path
-                sents.append(t.format(
-                    p=surface, p2=p2["name"], g=g["name"], g2=g2["name"],
-                    o=o["name"], e=e["name"], nat=nat["name"],
-                    natpl=nat["name"] + "s", year=year, date=date,
-                    job=p["jobs"].split("|")[0]))
-            pars.append(" ".join(sents))
-        text = "\n\n".join(pars)
+        text = _gen_page_text(rng, pools)
         url = f"https://example.org/p/{i:08d}"
         ts = EPOCH + timedelta(seconds=60 * i)
         pages.append(dict(
@@ -218,3 +228,37 @@ def gen_pages(kb_rows: list[dict], n_pages: int = 200, seed: int = 42) -> list[d
             html=(b"<html><body>" + text.encode() + b"</body></html>"),
             text=text, lang="en"))
     return pages
+
+
+def gen_pages_df(spark, kb_rows: list[dict], n_pages: int, seed: int = 42,
+                 partitions: int | None = None):
+    """Distributed page generator: each page's text derives only from
+    (seed, page id), so the table content is identical at any parallelism —
+    the property the two-cluster-size scaling run needs.  Executors build
+    Arrow batches; nothing is materialized on the driver."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pools_bc = spark.sparkContext.broadcast(_kb_pools(kb_rows))
+    base = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def fn(batches):
+        pools = pools_bc.value
+        for pdf in batches:
+            urls, texts = [], []
+            for i in pdf["id"]:
+                rng = random.Random((seed << 20) ^ int(i))
+                urls.append(f"https://example.org/p/{int(i):08d}")
+                texts.append(_gen_page_text(rng, pools))
+            yield pd.DataFrame({"url": urls, "text": texts})
+
+    df = base.mapInPandas(fn, schema="url string, text string")
+    return df.select(
+        "url",
+        (F.lit(EPOCH.replace(tzinfo=None)) + F.make_interval(
+            secs=F.regexp_extract("url", r"(\d+)$", 1).cast("long") * 60)
+         ).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text"),
+                          F.lit("</body></html>")), "utf-8").alias("html"),
+        "text",
+        F.lit("en").alias("lang"))

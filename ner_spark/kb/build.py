@@ -105,22 +105,60 @@ class KBArtifacts:
         return self.automaton_bc.value
 
 
+def _transform_namelist(namelist: dict[str, list[int]], transform,
+                        conf_of) -> dict[str, list[int]]:
+    """Apply a key transform (lowercase -d / deaccent -r automaton variants,
+    create_cedar.sh:25,521-546); colliding keys merge with the
+    confidence-descending id order of uniq_namelist.py:88-94, fragment
+    marker 0 kept last."""
+    out: dict[str, list[int]] = {}
+    for key, ids in namelist.items():
+        k = transform(key)
+        if not k:
+            continue
+        if k in out:
+            merged = {i for i in out[k] if i != 0} | {i for i in ids if i != 0}
+            ordered = sorted(merged, key=lambda i: (-conf_of(i), i))
+            if 0 in out[k] or 0 in ids:
+                ordered.append(0)
+            out[k] = ordered
+        else:
+            out[k] = list(ids)
+    return out
+
+
 def compile_kb(spark: SparkSession, rows: list[dict],
                stop_list: set[str] | None = None,
                filter_keys: bool = True,
                add_pronouns: bool = True,
-               add_subname_fragments: bool = True) -> KBArtifacts:
+               add_subname_fragments: bool = True,
+               lowercase: bool = False,
+               deaccent: bool = False) -> KBArtifacts:
     """Driver-side KB compile + broadcast (rebuilt when the KB snapshot
-    changes, the analogue of the ETag/version handshake ner.py:756-810)."""
+    changes, the analogue of the ETag/version handshake ner.py:756-810).
+
+    ``lowercase`` builds the ``-d`` lowercase automaton variant and
+    ``deaccent`` the ``-r`` accent-stripped one (both may combine); the
+    matching text transform must be passed to extract_mentions."""
+    from ner_spark.semantics.textnorm import remove_accent
+
     bundle = KBBundle.from_rows(rows)
     namelist = build_namelist(bundle, stop_list=stop_list,
                               filter_keys=filter_keys,
                               add_pronouns=add_pronouns,
                               add_subname_fragments=add_subname_fragments)
+    if lowercase or deaccent:
+        def tf(k: str) -> str:
+            if deaccent:
+                k = remove_accent(k)
+            return k.lower() if lowercase else k
+        namelist = _transform_namelist(namelist, tf, bundle.get_score)
     automaton = GazetteerAutomaton.build(namelist.items())
-    # cache: the triple builder reads the scored KB from several branches
-    # (types, attributes, redirects); one materialization serves them all
+    # cache + eager materialization: the triple builder reads the scored KB
+    # from several branches (types, attributes, redirects); one
+    # materialization at compile time serves them all
     kb_df = with_static_scores(kb_rows_to_df(spark, rows)).cache()
+    kb_df.count()
     sc = spark.sparkContext
     return KBArtifacts(
         kb_df=kb_df,

@@ -69,14 +69,23 @@ def scan_mentions(pages: DataFrame, artifacts: KBArtifacts,
 
 
 def extract_mentions(pages: DataFrame, artifacts: KBArtifacts,
-                     url_col: str = "url", text_col: str = "text") -> DataFrame:
-    """pages → final mention rows (scan + stages b-k fused, zero-shuffle)."""
+                     url_col: str = "url", text_col: str = "text",
+                     lowercase: bool = False, deaccent: bool = False,
+                     find_names: bool = False) -> DataFrame:
+    """pages → final mention rows (scan + stages b-k fused, zero-shuffle).
+
+    ``lowercase``/``deaccent`` mirror the reference's ``-d``/``-r`` modes
+    (ner.py:611-615: transform applied to the input after sanitization;
+    offsets refer to the transformed text) and must match the automaton
+    variant compiled with the same flags.  ``find_names`` enables unknown-
+    name discovery (``-n``, ner.py:696-697)."""
     src = sanitized_pages(pages, url_col, text_col)
     bundle_bc = artifacts.bundle_bc
     atm_bc = artifacts.automaton_bc
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ner_spark.semantics.resolve import resolve_document
+        from ner_spark.semantics.textnorm import remove_accent_unicode
 
         bundle = bundle_bc.value
         atm = atm_bc.value
@@ -85,9 +94,14 @@ def extract_mentions(pages: DataFrame, artifacts: KBArtifacts,
         for pdf in batches:
             rows = []
             for url, text in zip(pdf["url"], pdf["text"]):
+                if deaccent:
+                    text = remove_accent_unicode(text)
+                if lowercase:
+                    text = text.lower()
                 matches = [(m.ids, m.start, m.end, m.fragment)
                            for m in atm.scan(text)]
-                for r in resolve_document(text, matches, bundle):
+                for r in resolve_document(text, matches, bundle,
+                                          find_names=find_names):
                     rows.append((url, r["start"], r["end"], r["par"], r["kind"],
                                  r["text"], r["sense"], r["iso"], r["confidence"]))
             yield pd.DataFrame(rows, columns=cols)

@@ -184,3 +184,13 @@ class GazetteerAutomaton:
         """Yield (key path, ids) — used by the reflexive round-trip test,
         the same contract as figa/test_figa.py:85-98."""
         yield from self.keys.items()
+
+    def autocomplete(self, prefix: str, m: int = 5) -> list[tuple[str, tuple[int, ...]]]:
+        """First ``m`` keys strictly extending ``prefix``, in byte order —
+        the trie-DFS emission order of the reference's autocomplete
+        (figa_cedar.tpp:66-118; default top-k 5, main.cpp:59-60).  The
+        exact prefix itself is not returned (the DFS starts below it)."""
+        hits = [k for k in self.keys
+                if k.startswith(prefix) and k != prefix]
+        hits.sort(key=lambda k: k.encode())
+        return [(k, self.keys[k]) for k in hits[:m]]

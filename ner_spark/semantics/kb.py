@@ -365,7 +365,16 @@ def build_namelist(
     filtering, and uniq_namelist.py:44-107 (merge + confidence-descending
     order with deterministic id tie-break, SURVEY §1.4.4).
     """
-    stop_list = stop_list or set()
+    from .variants import all_person_variants, geographical_variants
+
+    # stoplist morphological expansion (create_cedar.sh:421-437): each stop
+    # word also blocks its word-wise-capitalized (sed 's/\b\(.\)/\u\1/g'),
+    # ALL-UPPER and all-lower variants
+    stop_list = {
+        v for s in (stop_list or set())
+        for v in (s, s.lower(), s.upper(),
+                  re.sub(r"\b(\w)", lambda m: m.group(1).upper(), s))
+    }
     keys: dict[str, set[int]] = {}
     frag: set[str] = set()
 
@@ -385,6 +394,8 @@ def build_namelist(
             threshold = 15 if ("artist" in t or kb.get_data_for(i, "FICTIONAL") == "1") else 20
             for alias, _nt in aliases.items():
                 add(alias, i, t)
+                for v in all_person_variants(alias):  # X14 fan-out
+                    add(v, i, t)
             conf = kb.get_score(i)
             if conf >= threshold:
                 m = _SURNAME_RE.search(name)
@@ -416,6 +427,10 @@ def build_namelist(
                         alias,
                         " ".join(w[0].upper() + w[1:] if len(w) > 1 else w for w in alias.split()),
                     ]
+                elif "geographical" in t:
+                    variants = [alias] + sorted(geographical_variants(
+                        alias, kb.get_data_for(i, "DESCRIPTION"),
+                        kb.get_data_for(i, "COUNTRY")))
                 for v in variants:
                     add(v, i, t)
 

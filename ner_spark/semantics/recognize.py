@@ -1,10 +1,11 @@
 """Single-document oracle: the reference's ``recognize`` end-to-end.
 
 This is the ground truth the Spark pipeline is parity-tested against
-(SURVEY §5.1): sanitize (ner.py:611) → automaton scan (ner.py:446-482) →
-per-document resolution stages b-k (ner.py:576-714).  Slow by design —
-test/oracle use only; the pipeline runs the same semantics modules inside
-Arrow-batched UDFs.
+(SURVEY §5.1): sanitize (ner.py:611) → optional lowercase/deaccent
+(``-d``/``-r``, ner.py:611-615) → automaton scan (ner.py:446-482) →
+per-document resolution stages b-k (ner.py:576-714), optionally with
+unknown-name discovery (``-n``).  Slow by design — test/oracle use only;
+the pipeline runs the same semantics modules inside Arrow-batched UDFs.
 """
 
 from __future__ import annotations
@@ -12,7 +13,7 @@ from __future__ import annotations
 from .automaton import GazetteerAutomaton
 from .kb import KBBundle
 from .resolve import resolve_document
-from .textnorm import sanitize
+from .textnorm import remove_accent_unicode, sanitize
 
 
 def recognize(
@@ -20,10 +21,18 @@ def recognize(
     automaton: GazetteerAutomaton,
     raw_text: str,
     list_titles: frozenset[str] = frozenset(),
+    lowercase: bool = False,
+    deaccent: bool = False,
+    find_names: bool = False,
 ) -> list[dict]:
     """Returns final mention rows (see resolve_document) for one document."""
     text = sanitize(raw_text)
+    if deaccent:
+        text = remove_accent_unicode(text)
+    if lowercase:
+        text = text.lower()
     matches = automaton.scan(text)
     return resolve_document(
-        text, [(m.ids, m.start, m.end, m.fragment) for m in matches], kb, list_titles
+        text, [(m.ids, m.start, m.end, m.fragment) for m in matches], kb,
+        list_titles, find_names=find_names,
     )

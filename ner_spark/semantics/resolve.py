@@ -660,6 +660,83 @@ def remove_nearby_entities(entities: list[Mention], kb: KBBundle, text: str) -> 
 
 
 # ---------------------------------------------------------------------------
+# unknown-name discovery (-n mode: ner.py:211-283 add_unknown_names;
+# simplified EN recognizer — capitalized proper-noun candidates with
+# possessive strip, name_recognizer/process_outputs.py:589-598)
+# ---------------------------------------------------------------------------
+
+def _name_candidates(text: str, list_titles: set[str]) -> list[Mention]:
+    out = []
+    for s, e in find_proper_nouns(remove_accent_unicode(text), list_titles):
+        frag = text[s:e]
+        if len(frag) > 2 and frag.endswith("'s"):  # possessive strip (F14)
+            frag = frag[:-2]
+            e -= 2
+        m = Mention(s, e, frag, [])
+        m.is_name = True
+        out.append(m)
+    return out
+
+
+def add_unknown_names(entities_and_dates: list, text: str,
+                      list_titles: set[str] = frozenset()) -> None:
+    """ner.py:211-283 merge semantics: same-surface names share a pseudo
+    sense set (negative ids); candidates equal to / contained in an existing
+    entity are dropped; candidates containing an entity absorb its senses
+    and replace it; survivors are inserted in start-offset order (W4)."""
+    name_entities = _name_candidates(text, list_titles)
+    for i, ne in enumerate(name_entities):
+        assigned = None
+        for j in range(i):
+            if ne.source == name_entities[j].source:
+                assigned = name_entities[j].senses
+                break
+        ne.senses = list(assigned) if assigned else [-(i + 1)]
+
+    def _contains(a: Mention, b: Mention) -> bool:
+        return (a.start <= b.start and a.end >= b.end
+                and b.source in a.source)
+
+    new_names = []
+    for ne in name_entities:
+        substring = False
+        overlaps = []
+        for ed in entities_and_dates:
+            if not isinstance(ed, Mention):
+                continue
+            if ((ne.start, ne.end, ne.source) ==
+                    (ed.start, ed.end, ed.source)) or _contains(ed, ne):
+                substring = True
+                break
+            elif _contains(ne, ed):
+                overlaps.append(ed)
+        if substring:
+            continue
+        if overlaps:
+            senses: list[int] = []
+            for o in overlaps:
+                senses.extend(s for s in o.senses if s not in senses)
+                entities_and_dates.remove(o)
+            ne.senses = senses
+        new_names.append(ne)
+
+    for nne in new_names:
+        for i in range(len(entities_and_dates)):
+            if i == len(entities_and_dates) - 1:
+                entities_and_dates.append(nne)
+                break
+            elif (nne.start >= entities_and_dates[i].start
+                    and nne.start < entities_and_dates[i + 1].start):
+                entities_and_dates.insert(i + 1, nne)
+                break
+            elif nne.start < entities_and_dates[0].start:
+                entities_and_dates.insert(0, nne)
+                break
+        else:
+            entities_and_dates.append(nne)
+
+
+# ---------------------------------------------------------------------------
 # the per-document driver (recognize stages b-k, ner.py:576-714)
 # ---------------------------------------------------------------------------
 
@@ -668,6 +745,8 @@ def resolve_document(
     matches: Sequence[tuple[Sequence[int], int, int, str]],
     kb: KBBundle,
     list_titles: set[str] = frozenset(),
+    find_names: bool = False,
+    mode: str = "default",
 ) -> list[dict]:
     """Run stages b-k on one (sanitized) document.
 
@@ -734,10 +813,26 @@ def resolve_document(
         e for e in entities_and_dates
         if isinstance(e, DateMatch) or id(e) in kept]
 
-    # final sense filter, default mode (ner.py:700-703)
-    entities_and_dates = [
-        e for e in entities_and_dates
-        if isinstance(e, DateMatch) or e.has_preferred_sense() or e.is_name]
+    if find_names:  # -n mode (ner.py:696-697)
+        add_unknown_names(entities_and_dates, text, list_titles)
+
+    # final sense filter (ner.py:700-709): default keeps resolved mentions;
+    # 'all' (-a) nulls the preferred sense and keeps everything with
+    # candidates; 'score' (-s) keeps the same rows with senses intact
+    if mode == "default":
+        entities_and_dates = [
+            e for e in entities_and_dates
+            if isinstance(e, DateMatch) or e.has_preferred_sense() or e.is_name]
+    else:
+        if mode == "all":
+            for e in entities_and_dates:
+                if isinstance(e, Mention):
+                    e.preferred_sense = None
+        entities_and_dates = [
+            e for e in entities_and_dates
+            if isinstance(e, DateMatch)
+            or (e.is_coreference and e.partial_match_senses)
+            or (not e.is_coreference and e.senses) or e.is_name]
 
     from bisect import bisect_right
 
@@ -752,10 +847,13 @@ def resolve_document(
             })
         else:
             kind = "coref" if e.is_coreference else ("name" if e.is_name else "kb")
+            sense = e.get_preferred_sense()
+            if e.is_name and sense is None and e.senses:
+                sense = e.senses[0]  # pseudo id (<0) or absorbed KB sense
             out.append({
                 "start": e.start, "end": e.end, "par": par, "kind": kind,
                 "text": text[e.start:e.end].replace("\n", " ").replace("\r", ""),
-                "sense": e.get_preferred_sense(), "iso": None,
+                "sense": sense, "iso": None,
                 "confidence": None,
             })
     return out

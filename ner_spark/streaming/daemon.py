@@ -10,6 +10,8 @@ is needed; exactly-once lands on the sink's append semantics.
 
 from __future__ import annotations
 
+from typing import Iterable, Iterator
+
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -18,6 +20,30 @@ from ner_spark.pipeline.ner import extract_mentions
 
 PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
+
+# the reference daemon's 8 control tokens (ner.py:819)
+DAEMON_TOKENS = {
+    "NER_NEW_FILE": "default", "NER_END": "default",
+    "NER_NEW_FILE_ALL": "all", "NER_END_ALL": "all",
+    "NER_NEW_FILE_SCORE": "score", "NER_END_SCORE": "score",
+    "NER_NEW_FILE_NAMES": "names", "NER_END_NAMES": "names",
+}
+
+
+def iter_daemon_documents(lines: Iterable[str]) -> Iterator[tuple[str, str, str]]:
+    """Parse the reference's daemon stdin protocol (ner.py:837-856):
+    lines accumulate until a control token; yields (document, mode, token).
+    ``NER_END*`` tokens terminate the stream after their document."""
+    buf: list[str] = []
+    for raw in lines:
+        line = raw.rstrip("\n").rstrip()
+        if line in DAEMON_TOKENS:
+            yield "".join(buf), DAEMON_TOKENS[line], line
+            buf = []
+            if "END" in line:
+                return
+        else:
+            buf.append(line + "\n")
 
 
 def stream_mentions(

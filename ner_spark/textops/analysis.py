@@ -85,6 +85,38 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
     return out.select(id_col, *scores, "pred_lang")
 
 
+def word_frequency(df: DataFrame, word_col: str = "word",
+                   count_col: str = "count") -> DataFrame:
+    """Word-frequency measures of the reference's namelist build
+    (/root/reference/automata/src/word_frequency.py:51-92): per surface form
+    ``all`` = count / total count of its lowercase base, ``uplow`` = count /
+    count restricted to lower+Title forms (0 unless the form itself is
+    lower or Title).  ``capital_dominant`` = uplow ≥ 0.5
+    (namelist.is_capital_dominant, used to gate lowercase variants).
+
+    Plan: one partial+final agg per base (map-side combine), broadcast-less
+    self-join on the tiny aggregate — scales to full web vocabularies."""
+    w = df.select(F.col(word_col).alias("word"),
+                  F.col(count_col).cast("long").alias("cnt"))
+    w = w.groupBy("word").agg(F.sum("cnt").alias("cnt"))
+    w = w.withColumn("base", F.lower(F.col("word")))
+    is_uplow = (F.col("word") == F.col("base")) | \
+        (F.col("word") == F.initcap(F.col("base")))
+    sums = w.groupBy("base").agg(
+        F.sum("cnt").alias("all_sum"),
+        F.sum(F.when(is_uplow, F.col("cnt")).otherwise(0)).alias("uplow_sum"))
+    out = w.join(sums, "base")
+    all_m = F.when(F.col("all_sum") > 0,
+                   F.col("cnt").cast("double") / F.col("all_sum")).otherwise(0.0)
+    uplow_m = F.when((F.col("uplow_sum") > 0) & is_uplow,
+                     F.col("cnt").cast("double") / F.col("uplow_sum")).otherwise(0.0)
+    return out.select(
+        "word",
+        F.round(all_m, 6).alias("all_measure"),
+        F.round(uplow_m, 6).alias("uplow_measure"),
+        (uplow_m >= 0.5).alias("capital_dominant"))
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Rolling polynomial token-hash fingerprint, portable across engines:

@@ -1,0 +1,221 @@
+"""Coverage operators: KB.tsv round-trip (S3/S4), autocomplete (O4),
+lowercase/deaccent automaton variants (F2/F12), word frequency (A13),
+daemon protocol (S2), unknown-name discovery (-n)."""
+
+import io
+
+import pytest
+
+from ner_spark.io.kbtsv import read_kb_tsv, read_kb_tsv_spark, write_kb_tsv
+from ner_spark.semantics.automaton import GazetteerAutomaton
+from ner_spark.semantics.kb import KBBundle, build_namelist
+from ner_spark.semantics.recognize import recognize
+from ner_spark.streaming.daemon import iter_daemon_documents
+from ner_spark.textops.analysis import word_frequency
+
+
+# -- KB.tsv ----------------------------------------------------------------
+
+def test_kb_tsv_roundtrip(kb_rows):
+    buf = io.StringIO()
+    write_kb_tsv(kb_rows, buf, version=3)
+    buf.seek(0)
+    version, head_kb, rows = read_kb_tsv(buf)
+    assert version == 3
+    assert list(head_kb) == ["generic"]
+    assert head_kb["generic"]["TYPE"] == 1 and head_kb["generic"]["NAME"] == 2
+    assert len(rows) == len(kb_rows)
+    by_id = {r["id"]: r for r in rows}
+    for orig in kb_rows:
+        got = by_id[orig["id"]]
+        assert got["name"] == str(orig["name"])
+        assert got["type"] == str(orig["type"])
+    # scores computed from the round-tripped rows match the originals
+    b1, b2 = KBBundle.from_rows(kb_rows), KBBundle.from_rows(rows)
+    assert b1.cols["confidence"] == b2.cols["confidence"]
+
+
+def test_kb_tsv_spark_read(spark, kb_rows, tmp_path):
+    p = str(tmp_path / "KB.tsv")
+    with open(p, "w") as fh:
+        write_kb_tsv(kb_rows, fh)
+    version, df = read_kb_tsv_spark(spark, p)
+    assert version == 1
+    assert df.count() == len(kb_rows)
+    row = df.filter("id = 1").collect()[0]
+    assert row.name == str(kb_rows[0]["name"])
+    assert row.wiki_backlinks == kb_rows[0]["wiki_backlinks"]
+
+
+def test_kb_tsv_rejects_garbage():
+    with pytest.raises(ValueError, match="not a KB.tsv"):
+        read_kb_tsv(io.StringIO("no version line\n"))
+
+
+# -- autocomplete ----------------------------------------------------------
+
+def test_autocomplete_byte_order_and_limit():
+    atm = GazetteerAutomaton.build([
+        ("New York", (1,)), ("New Orleans", (2,)), ("New Delhi", (3,)),
+        ("Newark", (4,)), ("Old Town", (5,)), ("New", (6,)),
+    ])
+    got = atm.autocomplete("New", m=3)
+    # byte order: ' ' (0x20) < 'a' (0x61) → multiword keys first
+    assert [k for k, _ in got] == ["New Delhi", "New Orleans", "New York"]
+    got_all = atm.autocomplete("New", m=10)
+    assert [k for k, _ in got_all] == [
+        "New Delhi", "New Orleans", "New York", "Newark"]
+    assert got_all[0][1] == (3,)
+    assert atm.autocomplete("Zzz") == []
+
+
+# -- lowercase/deaccent variants ------------------------------------------
+
+@pytest.fixture(scope="module")
+def variant_rows():
+    return [
+        dict(id=1, type="person", name="Antonín Dvořák", gender="M",
+             description="Czech composer." * 3, jobs="composer",
+             roles="composer", wiki_backlinks=100, wiki_hits=100, wiki_ps=1),
+        dict(id=2, type="geographical", name="Washington",
+             country="United States", description="City.",
+             wiki_backlinks=10, wiki_hits=10, wiki_ps=1),
+    ]
+
+
+def test_lowercase_variant(spark, variant_rows):
+    from ner_spark.kb.build import compile_kb
+
+    art = compile_kb(spark, variant_rows, lowercase=True,
+                     add_pronouns=False, add_subname_fragments=False)
+    out = recognize(art.bundle, art.automaton,
+                    "we saw WASHINGTON yesterday .", lowercase=True)
+    assert [(r["text"], r["sense"]) for r in out] == [("washington", 2)]
+
+
+def test_deaccent_variant(spark, variant_rows):
+    from ner_spark.kb.build import compile_kb
+
+    art = compile_kb(spark, variant_rows, deaccent=True,
+                     add_pronouns=False, add_subname_fragments=False)
+    out = recognize(art.bundle, art.automaton,
+                    "Antonin Dvorak composed music .", deaccent=True)
+    assert [(r["text"], r["sense"]) for r in out] == [("Antonin Dvorak", 1)]
+
+
+def test_transform_merge_keeps_confidence_order(spark):
+    from ner_spark.kb.build import compile_kb
+
+    rows = [
+        dict(id=1, type="organization", name="ACME", description="d",
+             wiki_backlinks=1, wiki_hits=1, wiki_ps=0),
+        dict(id=2, type="organization", name="Acme", description="d" * 50,
+             wiki_backlinks=500, wiki_hits=500, wiki_ps=1),
+    ]
+    art = compile_kb(spark, rows, lowercase=True, add_pronouns=False,
+                     add_subname_fragments=False)
+    keys = dict(art.automaton.iter_keys())
+    # both collapse to 'acme'; higher-confidence id 2 must come first
+    assert keys["acme"] == (2, 1)
+
+
+# -- word frequency --------------------------------------------------------
+
+def test_word_frequency_measures(spark):
+    df = spark.createDataFrame(
+        [("Prague", 60), ("prague", 30), ("PRAGUE", 10), ("dog", 5)],
+        "word string, count long")
+    got = {r.word: r for r in word_frequency(df).collect()}
+    # all = count / total by lowercase base
+    assert got["Prague"].all_measure == pytest.approx(0.6)
+    assert got["prague"].all_measure == pytest.approx(0.3)
+    assert got["PRAGUE"].all_measure == pytest.approx(0.1)
+    # uplow denominator excludes PRAGUE (neither lower nor Title)
+    assert got["Prague"].uplow_measure == pytest.approx(round(60 / 90, 6))
+    assert got["PRAGUE"].uplow_measure == 0.0
+    assert got["Prague"].capital_dominant is True
+    assert got["prague"].capital_dominant is False
+    assert got["dog"].all_measure == 1.0 and got["dog"].uplow_measure == 1.0
+
+
+def test_word_frequency_merges_duplicate_rows(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("A", 3)],
+                               "word string, count long")
+    got = {r.word: r for r in word_frequency(df).collect()}
+    assert got["a"].all_measure == pytest.approx(0.5)
+
+
+# -- daemon protocol -------------------------------------------------------
+
+def test_daemon_protocol_accumulates_and_modes():
+    lines = ["doc one line a", "line b", "NER_NEW_FILE",
+             "doc two", "NER_NEW_FILE_NAMES",
+             "doc three", "NER_END_ALL",
+             "never seen", "NER_NEW_FILE"]
+    docs = list(iter_daemon_documents(lines))
+    assert [(d, m) for d, m, _ in docs] == [
+        ("doc one line a\nline b\n", "default"),
+        ("doc two\n", "names"),
+        ("doc three\n", "all"),      # END token stops the stream
+    ]
+
+
+# -- unknown-name discovery ------------------------------------------------
+
+def test_find_names_discovers_unknown_persons(spark, variant_rows):
+    from ner_spark.kb.build import compile_kb
+
+    art = compile_kb(spark, variant_rows, add_pronouns=False,
+                     add_subname_fragments=False)
+    # NB names at offset 0 are excluded by the proper-noun rule (ner.py:170)
+    text = "then Unknown Stranger met Zebulon Pike yesterday ."
+    out = recognize(art.bundle, art.automaton, text, find_names=True)
+    names = [r for r in out if r["kind"] == "name"]
+    assert {r["text"] for r in names} == {"Unknown Stranger", "Zebulon Pike"}
+    assert all(r["sense"] < 0 for r in names)  # pseudo ids
+    # without the flag nothing is emitted
+    assert recognize(art.bundle, art.automaton, text) == []
+
+
+def test_find_names_possessive_strip(spark, variant_rows):
+    from ner_spark.kb.build import compile_kb
+
+    art = compile_kb(spark, variant_rows, add_pronouns=False,
+                     add_subname_fragments=False)
+    text = "we read Milton Friedman's essays ."
+    out = recognize(art.bundle, art.automaton, text, find_names=True)
+    names = [r["text"] for r in out if r["kind"] == "name"]
+    assert names == ["Milton Friedman"]
+
+
+def test_find_names_absorbs_overlapped_entity(spark, variant_rows):
+    from ner_spark.kb.build import compile_kb
+
+    art = compile_kb(spark, variant_rows, add_pronouns=False,
+                     add_subname_fragments=False)
+    # proper noun "Washington Irving House" contains KB entity "Washington"
+    text = "they toured Washington Irving House today ."
+    out = recognize(art.bundle, art.automaton, text, find_names=True)
+    names = [r for r in out if r["kind"] == "name"]
+    assert len(names) == 1
+    assert names[0]["text"] == "Washington Irving House"
+    assert names[0]["sense"] == 2  # absorbed the entity's sense
+    assert not any(r["kind"] == "kb" and r["text"] == "Washington" for r in out)
+
+
+def test_mode_all_keeps_candidates(spark, variant_rows):
+    from ner_spark.kb.build import compile_kb
+    from ner_spark.semantics.resolve import resolve_document
+    from ner_spark.semantics.textnorm import sanitize
+
+    art = compile_kb(spark, variant_rows, add_pronouns=False,
+                     add_subname_fragments=False)
+    text = sanitize("near Washington we stopped .")
+    ms = art.automaton.scan(text)
+    rows_default = resolve_document(
+        text, [(m.ids, m.start, m.end, m.fragment) for m in ms], art.bundle)
+    rows_all = resolve_document(
+        text, [(m.ids, m.start, m.end, m.fragment) for m in ms], art.bundle,
+        mode="all")
+    assert len(rows_default) == 1 and rows_default[0]["sense"] == 2
+    assert len(rows_all) == 1 and rows_all[0]["sense"] is None

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the KG-construction pipeline (north rule:
+"runs via spark-submit --py-files at N and 4N executors").
+
+    python tools/package.py                       # → build/ner_spark.zip
+    spark-submit --py-files build/ner_spark.zip \\
+        tools/run_job.py --pages <parquet> --kb <KB.tsv> --out <dir> \\
+        [--buckets 64] [--find-names] [--lowercase] [--deaccent]
+
+With no --kb the synthetic fixture KB is compiled (useful for smoke runs).
+The job writes the canonicalized triple table with per-bucket lineage
+(resumable: re-running with the same --out skips completed buckets) and
+prints a one-line JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="parquet dir with url/text cols")
+    ap.add_argument("--kb", default=None, help="KB.tsv path (default: synthetic)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--url-col", default="url")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--find-names", action="store_true")
+    ap.add_argument("--lowercase", action="store_true")
+    ap.add_argument("--deaccent", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from ner_spark.io.catalog import resumable_write
+    from ner_spark.io.kbtsv import read_kb_tsv
+    from ner_spark.kb.build import compile_kb
+    from ner_spark.pipeline.ner import extract_mentions
+    from ner_spark.pipeline.triples import build_triples
+
+    # under spark-submit the session/master comes from the launcher config
+    spark = SparkSession.builder.appName("ner-spark-kgc").getOrCreate()
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+    if args.kb:
+        with open(args.kb) as fh:
+            _, _, kb_rows = read_kb_tsv(fh)
+    else:
+        from ner_spark.fixtures.gen import gen_kb_rows
+        kb_rows = gen_kb_rows()
+
+    t0 = time.time()
+    art = compile_kb(spark, kb_rows, lowercase=args.lowercase,
+                     deaccent=args.deaccent)
+    pages = spark.read.parquet(args.pages)
+    mentions = extract_mentions(
+        pages, art, url_col=args.url_col, text_col=args.text_col,
+        lowercase=args.lowercase, deaccent=args.deaccent,
+        find_names=args.find_names).persist()
+    triples = build_triples(mentions, art.kb_df)
+    manifest = resumable_write(triples, os.path.join(args.out, "triples"),
+                               key="subj", n_buckets=args.buckets)
+    n = spark.read.parquet(os.path.join(args.out, "triples")).count()
+    dt = time.time() - t0
+    print(json.dumps({
+        "n_triples": n, "sec": round(dt, 2),
+        "triples_per_sec": round(n / dt, 1),
+        "buckets_completed": len(manifest["completed"]),
+        "buckets_resumed": len(manifest["skipped_resume"]),
+        "out": args.out,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
