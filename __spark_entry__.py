@@ -25,7 +25,8 @@ from ner_spark.operators import asof_join, salted_count
 from ner_spark.pipeline.ner import extract_mentions, scan_mentions
 from ner_spark.pipeline.cc import connected_components
 from ner_spark.pipeline.triples import build_triples, comention_edges
-from ner_spark.similarity.ann import brute_force_topk, lsh_topk
+from ner_spark.similarity.ann import (brute_force_topk, embedding_near_dups,
+                                      lsh_near_dup_pairs, lsh_topk)
 from ner_spark.textops.analysis import (fingerprint, lang_id, quality_score,
                                         token_stats, tokens_col,
                                         word_frequency)
@@ -199,6 +200,31 @@ def q_embed_lsh(spark, sf_dir):  # rows-only (driver)
     return lsh_topk(emb, emb.filter("vec_id < 8"), k=5, bits=4)
 
 
+def q_embed_ivf(spark, sf_dir):  # rows-only (driver): nprobe < n_centroids
+    from ner_spark.similarity.ivf import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter("vec_id < 8"), k=5,
+                    n_centroids=16, nprobe=4)
+
+
+def q_embed_ivf_full(spark, sf_dir):
+    """IVF with full probing — exactly brute force, so the embed_knn
+    oracle applies verbatim."""
+    from ner_spark.similarity.ivf import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter("vec_id < 8"), k=5,
+                    n_centroids=16, nprobe=16)
+
+
+def q_embed_near_dup(spark, sf_dir):
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_embed_lsh_near_dup(spark, sf_dir):  # rows-only (driver)
+    return lsh_near_dup_pairs(_t(spark, sf_dir, "embeddings"),
+                              threshold=0.4, bits=4)
+
+
 def q_multimodal_features(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("media"))
@@ -228,6 +254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embed_knn": q_embed_knn,
         "embed_lsh": q_embed_lsh,
+        "embed_ivf": q_embed_ivf,
+        "embed_ivf_full": q_embed_ivf_full,
+        "embed_near_dup": q_embed_near_dup,
+        "embed_lsh_near_dup": q_embed_lsh_near_dup,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -452,6 +482,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id
                                            ORDER BY cosine DESC, neighbor_id) AS rank
               FROM s) WHERE rank <= 5
+        """,
+        "embed_ivf_full": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 8),
+                 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+                 s AS (SELECT query_id, neighbor_id,
+                              round(list_cosine_similarity(
+                                CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])), 6) AS cosine
+                       FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM s) WHERE rank <= 5
+        """,
+        "embed_near_dup": """
+            WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM c a JOIN c b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         """,
         "multimodal_features": """
             SELECT doc_id AS id, length(text) AS n_bytes,

@@ -31,7 +31,9 @@ HEADLINE = [
     "salted_count", "asof_join_events",
     "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
     "dedup_exact", "dedup_jaccard", "dedup_minhash", "dedup_simhash",
-    "embed_knn", "embed_lsh", "multimodal_features",
+    "word_frequency", "kgc_mention_kb_join",
+    "embed_knn", "embed_lsh", "embed_ivf", "embed_near_dup",
+    "multimodal_features",
 ]
 
 

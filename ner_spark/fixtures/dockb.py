@@ -30,11 +30,19 @@ def dockb_rows() -> list[dict]:
     ]
 
 
+_CACHE: dict[int, KBArtifacts] = {}
+
+
 def compile_dockb(spark: SparkSession) -> KBArtifacts:
     """Namelist filtering off (lowercase keys are the point here); no
-    pronouns/subnames so detected mentions are exactly the SURFACES."""
-    return compile_kb(spark, dockb_rows(), filter_keys=False,
-                      add_pronouns=False, add_subname_fragments=False)
+    pronouns/subnames so detected mentions are exactly the SURFACES.
+    Memoized per SparkSession — several driver-contract queries share it."""
+    key = id(spark)
+    if key not in _CACHE:
+        _CACHE[key] = compile_kb(spark, dockb_rows(), filter_keys=False,
+                                 add_pronouns=False,
+                                 add_subname_fragments=False)
+    return _CACHE[key]
 
 
 def surface_case_sql() -> str:

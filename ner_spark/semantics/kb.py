@@ -176,9 +176,14 @@ class KBBundle:
 
     def get_ent_type(self, line: int) -> str:
         """Type path STRING; all callers do substring tests (SURVEY §1.4.1)."""
-        if line is None or not (1 <= line <= self.n_rows()):
+        # hot accessor (~10 calls per mention) — direct indexing, no
+        # n_rows() round-trip; index 0 is unused (returns its None → "")
+        try:
+            if line is None or line < 1:
+                return ""
+            return self.cols["type"][line] or ""
+        except (IndexError, TypeError):
             return ""
-        return self.cols["type"][line]
 
     def get_data_for(self, line: int, col_name: str, separator: str | None = None):
         col = _COLMAP.get(col_name)

@@ -336,6 +336,10 @@ def _left_context(text: str, m: Mention, s: str) -> bool:
 def _right_sentence(text: str, m: Mention) -> str:
     """Parenthesis-skipping sentence tail (entity.py:399-413)."""
     tail = text[m.end:]
+    dot = tail.find(".")
+    head = tail if dot == -1 else tail[:dot + 1]
+    if "(" not in head and ")" not in head:  # fast path: nothing to skip
+        return head
     depth = 0
     out = []
     for ch in tail:

@@ -33,6 +33,8 @@ _CACHE_LEN = 128
 
 
 def _deaccent(text: str) -> str:
+    if text.isascii():  # NFKD is the identity on ASCII — fast path
+        return text
     nkfd = unicodedata.normalize("NFKD", text)
     return "".join(c for c in nkfd if not unicodedata.combining(c))
 

@@ -70,6 +70,48 @@ def hyperplane_buckets(df: DataFrame, bits: int = 8, seed: int = 42,
     return src.mapInPandas(fn, schema=f"{id_col} long, bucket int")
 
 
+def embedding_near_dups(corpus: DataFrame, threshold: float = 0.9,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ threshold)
+    — the exact baseline (O(n²) cosine self-join, JVM-side arithmetic).
+    The scale path replaces the cross join with :func:`lsh_near_dup_pairs`
+    (bucketed candidates, exact verify) at recall < 1."""
+    c = corpus.select(F.col(id_col).alias("id1"),
+                      F.col(vec_col).cast("array<double>").alias("v1"))
+    d = corpus.select(F.col(id_col).alias("id2"),
+                      F.col(vec_col).cast("array<double>").alias("v2"))
+    return (
+        c.join(d, F.col("id1") < F.col("id2"))
+        .withColumn("cosine", F.round(_cosine(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
+def lsh_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
+                       bits: int = 8, seed: int = 42,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Scale path for near-dup detection: candidates share a hyperplane
+    bucket (expected candidate count n²/2^bits), verified with the exact
+    cosine.  Subset of :func:`embedding_near_dups` with recall < 1."""
+    b = hyperplane_buckets(corpus, bits, seed, id_col, vec_col)
+    v = corpus.select(F.col(id_col).alias("_id"),
+                      F.col(vec_col).cast("array<double>").alias("_v"))
+    b1 = b.select(F.col(id_col).alias("id1"), "bucket")
+    b2 = b.select(F.col(id_col).alias("id2"), "bucket")
+    return (
+        b1.join(b2, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .join(v.withColumnRenamed("_id", "id1").withColumnRenamed("_v", "v1"), "id1")
+        .join(v.withColumnRenamed("_id", "id2").withColumnRenamed("_v", "v2"), "id2")
+        .withColumn("cosine", F.round(_cosine(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, bits: int = 6,
              seed: int = 42, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
