@@ -97,6 +97,31 @@ def q_revenue_by_nation(spark, sf_dir):
     )
 
 
+def q_customers_without_orders(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS pushed to a single hash join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter("o_totalprice > 300000") \
+        .select("o_custkey")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .select("c_custkey", "c_name"))
+
+
+def q_customers_with_orders(spark, sf_dir):
+    """LEFT SEMI join (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+             .select("c_custkey", "c_nationkey"))
+
+
+def q_click_only_users(spark, sf_dir):
+    """Set difference (EXCEPT): purchasers who never crossed value 100."""
+    ev = _t(spark, sf_dir, "events").filter("event_type = 'purchase'")
+    all_buyers = ev.select("user_id").distinct()
+    big_buyers = ev.filter("value >= 100").select("user_id").distinct()
+    return all_buyers.exceptAll(big_buyers)
+
+
 def q_salted_count(spark, sf_dir):
     return salted_count(_t(spark, sf_dir, "orders"), "o_custkey", salt_k=8)
 
@@ -236,6 +261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "top_order_per_customer": q_top_order_per_customer,
         "revenue_by_nation": q_revenue_by_nation,
+        "customers_without_orders": q_customers_without_orders,
+        "customers_with_orders": q_customers_with_orders,
+        "click_only_users": q_click_only_users,
         "salted_count": q_salted_count,
         "asof_join_events": q_asof_join_events,
         "kgc_mention_counts": q_kgc_mention_counts,
@@ -330,6 +358,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_count": """
             SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 300000)
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "click_only_users": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value >= 100
         """,
         "asof_join_events": """
             WITH u AS (
