@@ -126,6 +126,13 @@ def q_salted_count(spark, sf_dir):
     return salted_count(_t(spark, sf_dir, "orders"), "o_custkey", salt_k=8)
 
 
+def q_windowed_event_counts(spark, sf_dir):
+    """Tumbling event-time windows (the streaming agg's batch shape)."""
+    from ner_spark.streaming.windows import windowed_event_counts
+    return windowed_event_counts(_t(spark, sf_dir, "events"), ts_col="ts",
+                                 key_col="event_type", window="1 day")
+
+
 def q_asof_join_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     left = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
@@ -266,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_only_users": q_click_only_users,
         "salted_count": q_salted_count,
         "asof_join_events": q_asof_join_events,
+        "windowed_event_counts": q_windowed_event_counts,
         "kgc_mention_counts": q_kgc_mention_counts,
         "kgc_mention_kb_join": q_kgc_mention_kb_join,
         "kgc_comention_pairs": q_kgc_comention_pairs,
@@ -387,6 +395,15 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts, side
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_purchase
             FROM u QUALIFY side = 1
+        """,
+        "windowed_event_counts": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS win_end,
+                   event_type AS key,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY 1, 2, 3
         """,
         "kgc_mention_counts": f"""
             SELECT tok AS surface, count(*) AS n_mentions

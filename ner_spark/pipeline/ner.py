@@ -40,10 +40,13 @@ SCAN_SCHEMA = "url string, start int, end int, fragment string, ids array<int>"
 
 def sanitized_pages(pages: DataFrame, url_col: str = "url",
                     text_col: str = "text") -> DataFrame:
-    """Project to (url, text) — pruning ``html`` — and sanitize JVM-side."""
+    """Project to (url, text) — pruning ``html`` — and sanitize JVM-side.
+    Null text becomes "" (real crawl tables contain nulls; the reference
+    would never see them — stdin always yields a string)."""
     return pages.select(
         F.col(url_col).alias("url"),
-        F.regexp_replace(F.col(text_col), _SANITIZE_JAVA, " ").alias("text"),
+        F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+                         _SANITIZE_JAVA, " ").alias("text"),
     )
 
 

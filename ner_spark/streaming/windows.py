@@ -1,0 +1,53 @@
+"""Event-time windowed aggregation with watermark (late-data handling).
+
+The reference has no event-time concept (SURVEY §2.9) — this is part of the
+training-data/streaming surface: tumbling-window counts per key over an
+unbounded event stream, with a watermark bounding how late an event may
+arrive before its window is finalized and state evicted.  Plan shape:
+stateful streaming aggregation (partial + state-store merge), shuffle on
+(window, key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
+                          key_col: str = "event_type",
+                          window: str = "10 minutes",
+                          slide: str | None = None,
+                          watermark: str = "30 minutes") -> DataFrame:
+    """events (streaming or batch) → (win_start, win_end, key, n_events,
+    total_value).  ``ts_col`` may be numeric (epoch seconds) or timestamp."""
+    ts = F.col(ts_col)
+    src = events.withColumn("_ts", ts.cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark("_ts", watermark)
+    win = F.window("_ts", window, slide) if slide else F.window("_ts", window)
+    return (
+        src.groupBy(win.alias("win"), F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"),
+                "key", "n_events", "total_value")
+    )
+
+
+def run_windowed_counts(spark, input_path: str, checkpoint: str,
+                        schema: str,
+                        query_name: str = "windowed_counts",
+                        **kwargs):
+    """File-stream wrapper writing to an in-memory sink (complete mode) —
+    the pattern a real deployment points at Kafka + a table sink."""
+    events = spark.readStream.schema(schema).parquet(input_path)
+    agg = windowed_event_counts(events, **kwargs)
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -97,3 +97,15 @@ def test_run_pipeline_end_to_end(spark, kb_rows, pages_df, tmp_path):
     assert res.manifest is not None
     written = spark.read.parquet(str(tmp_path / "triples"))
     assert written.count() == res.triples.count()
+
+def test_null_and_empty_text_safe(spark, artifacts):
+    """Crawl tables contain null/empty text; the pipeline must pass them
+    through silently (zero mentions), not crash the UDF."""
+    from ner_spark.pipeline.ner import extract_mentions
+
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", ""), ("u3", "George Washington spoke .")],
+        "url string, text string")
+    rows = extract_mentions(df, artifacts).collect()
+    assert {r.url for r in rows} <= {"u3"}
+    assert len(rows) > 0
