@@ -50,9 +50,12 @@ def main() -> None:
              os.environ.get("BENCH_QUERIES", ",".join(HEADLINE)).split(",")
              if n in qs]
 
-    # warm the JVM + Python worker pool so per-query numbers measure the
-    # operators, not process spin-up
+    # warm the JVM + the full Python worker pool so per-query numbers
+    # measure the operators, not process spin-up
     spark.range(0, 1000).selectExpr("sum(id)").collect()
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark.range(0, cpus * 2, 1, cpus * 2) \
+        .mapInPandas(lambda it: it, "id long").count()
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
