@@ -30,8 +30,10 @@ from ner_spark.similarity.ann import (brute_force_topk, embedding_near_dups,
 from ner_spark.textops.analysis import (fingerprint, lang_id, quality_score,
                                         token_stats, tokens_col,
                                         word_frequency)
+from ner_spark.textops.analysis import token_counts_bpe
 from ner_spark.textops.dedup import (exact_duplicates, jaccard_pairs,
-                                     minhash_lsh_pairs, simhash_near_dups)
+                                     minhash_lsh_pairs, ngram_jaccard_pairs,
+                                     simhash_near_dups)
 from ner_spark.multimodal.binary import featurize
 
 
@@ -204,6 +206,29 @@ def q_word_frequency(spark, sf_dir):
     return word_frequency(wc)
 
 
+def q_text_token_bpe(spark, sf_dir):
+    return token_counts_bpe(_t(spark, sf_dir, "documents"))
+
+
+def q_revenue_rollup(spark, sf_dir):
+    """ROLLUP aggregate: per-nation revenue plus the grand-total row."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .rollup("n_name")
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+              F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                               block_col="source", n=3, threshold=0.3)
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -284,6 +309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "word_frequency": q_word_frequency,
+        "text_token_bpe": q_text_token_bpe,
+        "revenue_rollup": q_revenue_rollup,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -511,6 +539,38 @@ def oracle_sql() -> dict[str, str]:
                         OR word = upper(substr(word,1,1)) || lower(substr(word,2)))
                     AND CAST(cnt AS DOUBLE) / uplow_sum >= 0.5) AS capital_dominant
             FROM w JOIN s ON lower(word) = base
+        """,
+        "text_token_bpe": r"""
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split(text,' '), x -> x <> '') AS toks
+                       FROM documents)
+            SELECT doc_id, len(toks) AS n_ws_tokens,
+                   len(regexp_extract_all(
+                       (SELECT text FROM documents d WHERE d.doc_id = t.doc_id),
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS n_bpe_tokens
+            FROM t
+        """,
+        "revenue_rollup": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP (n_name)
+        """,
+        "dedup_ngram_jaccard": """
+            WITH t AS (SELECT doc_id, source,
+                              list_filter(string_split(text,' '), x -> x <> '') AS toks
+                       FROM documents),
+                 s AS (SELECT doc_id, source,
+                              list_distinct([array_to_string(toks[i:i+2], ' ')
+                                             FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS sh
+                       FROM t)
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(a.sh || b.sh)) >= 0.3
         """,
         "dedup_exact": """
             WITH h AS (SELECT doc_id, md5(text) AS digest FROM documents),

@@ -44,6 +44,24 @@ def token_stats(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# BPE-ish pre-tokenization pattern (GPT-2-style, conservatively portable
+# across Java regex and RE2/DuckDB): letter runs, single digits, punct runs
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def token_counts_bpe(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Whitespace tokens vs BPE-ish pre-tokens per document — the cheap
+    token-budget estimator a curation pipeline runs before a real BPE."""
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN))
+         .alias("n_bpe_tokens"),
+    )
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Cheap curation signals: stopword ratio, alpha ratio, length class."""

@@ -60,6 +60,32 @@ def jaccard_pairs(df: DataFrame, block_col: str, threshold: float = 0.5,
                 .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
+def ngram_jaccard_pairs(df: DataFrame, block_col: str, n: int = 3,
+                        threshold: float = 0.5, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Word-n-gram-shingle Jaccard within a blocking key — JVM-side shingle
+    construction (transform over an index sequence), distinct shingles, then
+    the same intersect/union arithmetic as :func:`jaccard_pairs`."""
+    toks = tokens_col(text_col)
+    shingles = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+    t = df.select(F.col(id_col), F.col(block_col).alias("block"),
+                  shingles.alias("sh"))
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+    union = F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        a.join(b, "block")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id1"),
+                F.col(f"b.{id_col}").alias("id2"),
+                (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def _shingle_hashes(text: str, shingle: int) -> np.ndarray:
     toks = [t for t in text.split(" ") if t]
     if len(toks) < shingle:

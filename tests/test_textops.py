@@ -97,3 +97,26 @@ def test_fingerprint_deterministic_and_sensitive(docs_df):
     assert fps[1] == fps[4]
     assert fps[1] != fps[2]
     assert all(0 <= v < FP_MOD for v in fps.values())
+
+
+def test_ngram_jaccard_shingles(spark):
+    from ner_spark.textops.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "x", "a b c d e"), (2, "x", "a b c d f"), (3, "x", "q r s t u")],
+        "doc_id long, source string, text string")
+    got = {(r.id1, r.id2): r.jaccard
+           for r in ngram_jaccard_pairs(df, "source", n=3, threshold=0.1).collect()}
+    # doc1 shingles {abc,bcd,cde}, doc2 {abc,bcd,cdf} → J = 2/4
+    assert got == {(1, 2): 0.5}
+
+
+def test_token_counts_bpe(spark):
+    from ner_spark.textops.analysis import token_counts_bpe
+
+    df = spark.createDataFrame([(1, "hello, world 42!")],
+                               "doc_id long, text string")
+    r = token_counts_bpe(df).collect()[0]
+    assert r.n_ws_tokens == 3
+    # hello | , | world | 4 | 2 | !
+    assert r.n_bpe_tokens == 6
