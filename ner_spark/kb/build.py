@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ner_spark.semantics.automaton import GazetteerAutomaton
-from ner_spark.semantics.kb import KB_COLUMNS, KBBundle, build_namelist
+from ner_spark.semantics.kb import (KB_COLUMNS, KBBundle, build_namelist,
+                                    build_uri_namelist)
 
 _STR_COLS = [c for c in KB_COLUMNS if c not in
              ("id", "wiki_backlinks", "wiki_hits", "wiki_ps")]
@@ -133,7 +134,8 @@ def compile_kb(spark: SparkSession, rows: list[dict],
                add_pronouns: bool = True,
                add_subname_fragments: bool = True,
                lowercase: bool = False,
-               deaccent: bool = False) -> KBArtifacts:
+               deaccent: bool = False,
+               uri_mode: bool = False) -> KBArtifacts:
     """Driver-side KB compile + broadcast (rebuilt when the KB snapshot
     changes, the analogue of the ETag/version handshake ner.py:756-810).
 
@@ -143,10 +145,14 @@ def compile_kb(spark: SparkSession, rows: list[dict],
     from ner_spark.semantics.textnorm import remove_accent
 
     bundle = KBBundle.from_rows(rows)
-    namelist = build_namelist(bundle, stop_list=stop_list,
-                              filter_keys=filter_keys,
-                              add_pronouns=add_pronouns,
-                              add_subname_fragments=add_subname_fragments)
+    if uri_mode:
+        # URI automaton (-u, KB2namelist.py:907-922): URL keys only
+        namelist = build_uri_namelist(bundle)
+    else:
+        namelist = build_namelist(bundle, stop_list=stop_list,
+                                  filter_keys=filter_keys,
+                                  add_pronouns=add_pronouns,
+                                  add_subname_fragments=add_subname_fragments)
     if lowercase or deaccent:
         def tf(k: str) -> str:
             if deaccent:

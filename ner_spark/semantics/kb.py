@@ -357,6 +357,23 @@ def is_unsuitable_key(key: str, type_str: str) -> bool:
     return False
 
 
+def build_uri_namelist(kb: KBBundle) -> dict[str, list[int]]:
+    """URI-mode namelist (``-u``): every URL of every entity becomes a key
+    (KB2namelist.process_uri:907-922; URI columns WIKIPEDIA/WIKIDATA/DBPEDIA
+    URL + multivalue OTHER URL — our flat KB carries wikipedia_url).  The
+    scanner's URI tokenization rule makes each URL one word, so matches are
+    whole-URL."""
+    out: dict[str, list[int]] = {}
+    for i in range(1, kb.n_rows() + 1):
+        for u in (kb.get_data_for(i, "WIKIPEDIA URL"),):
+            u = (u or "").strip()
+            if u:
+                out.setdefault(u, [])
+                if i not in out[u]:
+                    out[u].append(i)
+    return out
+
+
 def build_namelist(
     kb: KBBundle,
     stop_list: set[str] | None = None,

@@ -36,3 +36,17 @@ def recognize(
         text, [(m.ids, m.start, m.end, m.fragment) for m in matches], kb,
         list_titles, find_names=find_names,
     )
+
+
+def render_reference_lines(rows: list[dict]) -> list[str]:
+    """Render mention rows in the reference's stdout line format:
+    ``start \\t end \\t kind \\t text \\t sense-or-iso``
+    (Entity.__str__ ner/entity.py:357-388; Date.__str__ libs/dates.py:
+    167-183 — our dates are pre-split so the DATE branch applies).
+    Useful for byte-level diffing against a reference run."""
+    out = []
+    for r in rows:
+        tail = r["iso"] if r["kind"] == "date" else (
+            "" if r["sense"] is None else str(r["sense"]))
+        out.append(f"{r['start']}\t{r['end']}\t{r['kind']}\t{r['text']}\t{tail}")
+    return out

@@ -219,3 +219,38 @@ def test_mode_all_keeps_candidates(spark, variant_rows):
         mode="all")
     assert len(rows_default) == 1 and rows_default[0]["sense"] == 2
     assert len(rows_all) == 1 and rows_all[0]["sense"] is None
+
+
+# -- URI automaton mode ----------------------------------------------------
+
+def test_uri_mode(spark, variant_rows):
+    from ner_spark.kb.build import compile_kb
+    from ner_spark.semantics.recognize import recognize
+
+    art = compile_kb(spark, variant_rows, uri_mode=True)
+    url = "https://en.wikipedia.org/wiki/Washington"
+    # give row 2 that URL
+    rows2 = [dict(r) for r in variant_rows]
+    rows2[1]["wikipedia_url"] = url
+    art = compile_kb(spark, rows2, uri_mode=True)
+    text = f"see {url} for details ."
+    out = recognize(art.bundle, art.automaton, text)
+    assert [(r["text"], r["sense"]) for r in out if r["kind"] == "kb"] == \
+        [(url, 2)]
+    # plain names do NOT match in uri mode
+    assert recognize(art.bundle, art.automaton, "Washington is nice .") == []
+
+
+def test_render_reference_lines(spark, variant_rows):
+    from ner_spark.kb.build import compile_kb
+    from ner_spark.semantics.recognize import recognize, render_reference_lines
+
+    art = compile_kb(spark, variant_rows, add_pronouns=False,
+                     add_subname_fragments=False)
+    text = "We saw Washington on 1999-12-28 ."
+    lines = render_reference_lines(
+        recognize(art.bundle, art.automaton, text))
+    assert lines == [
+        "7\t17\tkb\tWashington\t2",
+        "21\t31\tdate\t1999-12-28\t1999-12-28",
+    ]
