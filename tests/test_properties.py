@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis): structural invariants of the
+tokenizer, automaton and resolve pipeline that must hold for ANY input."""
+
+from hypothesis import given, settings, strategies as st
+
+from ner_spark.semantics.automaton import (GazetteerAutomaton, is_delimiter,
+                                           tokenize)
+from ner_spark.semantics.textnorm import sanitize
+
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+    max_size=200)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_tokenize_offsets_partition_words(text):
+    words = tokenize(text)
+    last_end = 0
+    for w in words:
+        assert 0 <= w.start < w.end <= len(text)
+        assert w.start >= last_end
+        assert text[w.start:w.end] == w.text
+        assert w.text != ""
+        last_end = w.end
+    # every non-delimiter char is covered by some word
+    covered = set()
+    for w in words:
+        covered.update(range(w.start, w.end))
+    for i, c in enumerate(text):
+        if not is_delimiter(c):
+            assert i in covered, (i, c)
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT)
+def test_scan_matches_never_overlap_and_slice_correctly(text):
+    atm = GazetteerAutomaton.build([
+        ("ab", (1,)), ("ab cd", (2,)), ("x", (3,)), ("Dvořák", (4,)),
+    ])
+    prev_end = -1
+    for m in atm.scan(text):
+        assert 0 <= m.start < m.end <= len(text)
+        assert m.start >= prev_end  # consumed words → no overlap
+        assert text[m.start:m.end] == m.fragment
+        prev_end = m.end
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="abcXY ", min_size=1, max_size=12),
+                min_size=1, max_size=20))
+def test_reflexive_roundtrip_on_random_keys(keys):
+    namelist = {}
+    for i, k in enumerate(keys):
+        path_words = tokenize(k)
+        if not path_words:
+            continue
+        namelist.setdefault(k, i + 1)
+    atm = GazetteerAutomaton.build(
+        (k, (v,)) for k, v in namelist.items())
+    for key, ids in atm.iter_keys():
+        ms = atm.scan(key)
+        assert len(ms) == 1
+        assert (ms[0].start, ms[0].end) == (0, len(key))
+        assert ms[0].ids == ids
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_sanitize_idempotent_and_length_preserving(text):
+    s = sanitize(text)
+    assert len(s) == len(text)
+    assert sanitize(s) == s
+    assert ";" not in s
