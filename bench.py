@@ -57,13 +57,21 @@ def main() -> None:
     spark.range(0, cpus * 2, 1, cpus * 2) \
         .mapInPandas(lambda it: it, "id long").count()
 
+    # min-of-k per query: the sandbox host is noisy (±2x drift, see
+    # BASELINE.md); external load only ever adds time, so min is the
+    # honest per-operator cost
+    trials = int(os.environ.get("BENCH_TRIALS", "2"))
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
-        t0 = time.perf_counter()
-        n = qs[name](spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        rows[name] = n
+        best = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            n = qs[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            rows[name] = n
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     throughput = {}
