@@ -22,10 +22,67 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
-from ner_spark.io.catalog import resumable_write
+from pyspark.sql import functions as F
+
+from ner_spark.io.catalog import (LINEAGE_DIR, _append_lineage, _lineage_of,
+                                  completed_buckets, resumable_write,
+                                  with_bucket)
 from ner_spark.kb.build import KBArtifacts, compile_kb
 from ner_spark.pipeline.ner import extract_mentions
 from ner_spark.pipeline.triples import build_triples
+
+
+def extract_mentions_resumable(
+    spark: SparkSession,
+    pages: DataFrame,
+    artifacts: KBArtifacts,
+    path: str,
+    n_buckets: int = 64,
+    url_col: str = "url",
+    text_col: str = "text",
+    fail_after_buckets: int | None = None,
+    **extract_kw,
+) -> DataFrame:
+    """Checkpoint-resumable mention extraction: pages are bucketed by
+    ``pmod(xxhash64(url), N)`` *before* the expensive UDF, completed buckets
+    (per the lineage sidecar) are filtered OUT of the scan, so a resumed run
+    re-reads only unprocessed pages — compute-level resume, not just
+    write-level (SCALE.md "Resume story").  Returns the full mentions table
+    read back from ``path``."""
+    from collections import namedtuple
+
+    LRow = namedtuple("LRow", "bucket n_rows fingerprint")
+    done = set(completed_buckets(spark, path))
+    pages_b = pages.withColumn(
+        "_bucket", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)).cast("int"))
+    todo_pages = pages_b.filter(~F.col("_bucket").isin(list(done))) if done \
+        else pages_b
+    # buckets being processed this run — a column-pruned url scan; zero-
+    # mention buckets still get a lineage row so resume never re-scans them
+    todo_buckets = sorted(
+        r._bucket for r in todo_pages.select("_bucket").distinct().collect())
+    if not todo_buckets:
+        return spark.read.parquet(path).drop("bucket")
+    mentions = extract_mentions(todo_pages, artifacts, url_col=url_col,
+                                text_col=text_col, **extract_kw)
+    bdf = with_bucket(mentions, "url", n_buckets).persist()
+    try:
+        have = {r.bucket: r for r in _lineage_of(bdf).collect()}
+        lineage = [have.get(b, LRow(b, 0, 0)) for b in todo_buckets]
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        if fail_after_buckets is not None and fail_after_buckets < len(todo_buckets):
+            keep = set(todo_buckets[:fail_after_buckets])
+            part = bdf.filter(F.col("bucket").isin(list(keep)))
+            part.write.mode("overwrite").partitionBy("bucket").parquet(path)
+            _append_lineage(spark, path,
+                            [r for r in lineage if r.bucket in keep])
+            raise RuntimeError(
+                f"injected failure after {fail_after_buckets} buckets")
+        bdf.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        _append_lineage(spark, path, lineage)
+    finally:
+        bdf.unpersist()
+    return spark.read.parquet(path).drop("bucket")
 
 
 @dataclass
@@ -47,12 +104,16 @@ def run_pipeline(
     materialize_mentions: str | None = None,
 ) -> PipelineResult:
     artifacts = compile_kb(spark, kb_rows)
-    mentions = extract_mentions(pages, artifacts, url_col=url_col, text_col=text_col)
     if materialize_mentions:
-        mentions.write.mode("overwrite").parquet(materialize_mentions)
-        mentions = spark.read.parquet(materialize_mentions)
+        # checkpoint-resumable: completed url-buckets are pruned from the
+        # page scan itself on re-runs
+        mentions = extract_mentions_resumable(
+            spark, pages, artifacts, materialize_mentions,
+            n_buckets=n_buckets, url_col=url_col, text_col=text_col)
     else:
-        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
+        mentions = extract_mentions(pages, artifacts, url_col=url_col,
+                                    text_col=text_col) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
     triples = build_triples(mentions, artifacts.kb_df)
     manifest = None
     if out_path:

@@ -55,3 +55,35 @@ def test_lineage_counts_match_table(spark, triple_df, tmp_path):
               .agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert lineage == actual
     assert sum(lineage.values()) == 500
+
+
+def test_resumable_mentions_compute_prune(spark, artifacts, pages_rows, tmp_path):
+    """Mention extraction resume: kill after k buckets, resume, converge;
+    completed buckets (incl. zero-mention ones) are pruned from the re-scan."""
+    import pytest as _pytest
+
+    from ner_spark.io.catalog import read_lineage
+    from ner_spark.pipeline.run import extract_mentions_resumable
+
+    pages = spark.createDataFrame(
+        [(p["url"], p["text"]) for p in pages_rows[:30]]
+        + [("u-empty-1", "zzz qqq ."), ("u-empty-2", "nothing here .")],
+        "url string, text string")
+    path = str(tmp_path / "mentions")
+
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        extract_mentions_resumable(spark, pages, artifacts, path,
+                                   n_buckets=8, fail_after_buckets=3)
+    partial_lineage = {r.bucket for r in read_lineage(spark, path).collect()}
+    assert len(partial_lineage) == 3
+
+    got = extract_mentions_resumable(spark, pages, artifacts, path, n_buckets=8)
+    lineage = {r.bucket: r.n_rows for r in read_lineage(spark, path).collect()}
+    assert len(lineage) == 8  # every populated bucket has exactly one row
+    # zero-mention buckets recorded too (no eternal re-scan)
+    clean = str(tmp_path / "clean")
+    want = extract_mentions_resumable(spark, pages, artifacts, clean, n_buckets=8)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # fully-resumed rerun is a no-op returning the same table
+    again = extract_mentions_resumable(spark, pages, artifacts, path, n_buckets=8)
+    assert again.count() == got.count()

@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--find-names", action="store_true")
     ap.add_argument("--lowercase", action="store_true")
     ap.add_argument("--deaccent", action="store_true")
+    ap.add_argument("--materialize-mentions", action="store_true",
+                    help="checkpoint mentions (compute-level resume)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,10 +62,16 @@ def main() -> None:
     art = compile_kb(spark, kb_rows, lowercase=args.lowercase,
                      deaccent=args.deaccent)
     pages = spark.read.parquet(args.pages)
-    mentions = extract_mentions(
-        pages, art, url_col=args.url_col, text_col=args.text_col,
-        lowercase=args.lowercase, deaccent=args.deaccent,
-        find_names=args.find_names).persist()
+    kw = dict(url_col=args.url_col, text_col=args.text_col,
+              lowercase=args.lowercase, deaccent=args.deaccent,
+              find_names=args.find_names)
+    if args.materialize_mentions:
+        from ner_spark.pipeline.run import extract_mentions_resumable
+        mentions = extract_mentions_resumable(
+            spark, pages, art, os.path.join(args.out, "mentions"),
+            n_buckets=args.buckets, **kw)
+    else:
+        mentions = extract_mentions(pages, art, **kw).persist()
     triples = build_triples(mentions, art.kb_df)
     manifest = resumable_write(triples, os.path.join(args.out, "triples"),
                                key="subj", n_buckets=args.buckets)
