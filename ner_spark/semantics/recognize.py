@@ -43,10 +43,20 @@ def render_reference_lines(rows: list[dict]) -> list[str]:
     ``start \\t end \\t kind \\t text \\t sense-or-iso``
     (Entity.__str__ ner/entity.py:357-388; Date.__str__ libs/dates.py:
     167-183 — our dates are pre-split so the DATE branch applies).
-    Useful for byte-level diffing against a reference run."""
+    Useful for byte-level diffing against a reference run.  Score-mode rows
+    (``cands``/``cand_scores`` present) render the candidate list with
+    scores exactly like Entity.__str__'s display_score branch."""
     out = []
     for r in rows:
-        tail = r["iso"] if r["kind"] == "date" else (
-            "" if r["sense"] is None else str(r["sense"]))
+        if r["kind"] == "date":
+            tail = r["iso"]
+        elif r.get("cands"):
+            parts = []
+            scores = r.get("cand_scores") or []
+            for i, c in enumerate(r["cands"]):
+                parts.append(f"{c} {scores[i]}" if i < len(scores) else str(c))
+            tail = ";".join(parts)
+        else:
+            tail = "" if r["sense"] is None else str(r["sense"])
         out.append(f"{r['start']}\t{r['end']}\t{r['kind']}\t{r['text']}\t{tail}")
     return out

@@ -854,10 +854,14 @@ def resolve_document(
             sense = e.get_preferred_sense()
             if e.is_name and sense is None and e.senses:
                 sense = e.senses[0]  # pseudo id (<0) or absorbed KB sense
-            out.append({
+            row = {
                 "start": e.start, "end": e.end, "par": par, "kind": kind,
                 "text": text[e.start:e.end].replace("\n", " ").replace("\r", ""),
                 "sense": sense, "iso": None,
                 "confidence": None,
-            })
+            }
+            if mode == "score":  # -s: carry candidates + scores (entity.py:369-377)
+                row["cands"] = list(e.candidates)
+                row["cand_scores"] = list(e.score)
+            out.append(row)
     return out

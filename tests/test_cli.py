@@ -83,3 +83,14 @@ def test_cli_file_and_lowercase(kb_tsv, tmp_path):
     # -l: lowercase automaton + lowercased input
     out = _run_cli(["-f", str(doc), "-l"], "", kb_tsv)
     assert "marie curie\t2" in out
+
+
+def test_cli_score_mode(kb_tsv):
+    out = _run_cli(["-s"], "Marie Curie visited Prague .", kb_tsv)
+    lines = out.splitlines()
+    # score mode prints candidate lists with scores (entity.py display_score)
+    assert any("\t2 " in l or l.endswith("\t2") for l in lines)
+    marie = [l for l in lines if "Marie Curie" in l][0]
+    cand_tail = marie.split("\t")[-1]
+    assert cand_tail.startswith("2 ")  # "cand score" format
+    float(cand_tail.split(" ")[1])     # score parses as a number

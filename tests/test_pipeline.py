@@ -109,3 +109,21 @@ def test_null_and_empty_text_safe(spark, artifacts):
     rows = extract_mentions(df, artifacts).collect()
     assert {r.url for r in rows} <= {"u3"}
     assert len(rows) > 0
+
+def test_find_names_parity_spark_vs_oracle(spark, pages_df, artifacts):
+    """-n mode parity: the Spark pipeline with find_names matches the
+    oracle document-for-document."""
+    from ner_spark.pipeline.ner import extract_mentions
+    from ner_spark.semantics.recognize import recognize
+
+    sample = pages_df.limit(15)
+    got = {(r.url, r.start, r.end, r.kind, r.sense)
+           for r in extract_mentions(sample, artifacts,
+                                     find_names=True).collect()}
+    want = set()
+    for p in sample.collect():
+        for r in recognize(artifacts.bundle, artifacts.automaton, p.text,
+                           find_names=True):
+            want.add((p.url, r["start"], r["end"], r["kind"], r["sense"]))
+    assert got == want
+    assert any(k == "name" for (_, _, _, k, _) in want)
