@@ -26,13 +26,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "kgc_triples", "kgc_mention_counts", "kgc_comention_pairs",
-    "kgc_connected_components",
-    "tpch_q1", "revenue_by_nation", "top_order_per_customer",
-    "salted_count", "asof_join_events",
+    "kgc_connected_components", "kgc_mention_kb_join",
+    "tpch_q1", "revenue_by_nation", "revenue_rollup",
+    "top_order_per_customer", "salted_count", "asof_join_events",
+    "windowed_event_counts", "customers_without_orders",
+    "customers_with_orders", "click_only_users",
     "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
-    "dedup_exact", "dedup_jaccard", "dedup_minhash", "dedup_simhash",
-    "word_frequency", "kgc_mention_kb_join",
-    "embed_knn", "embed_lsh", "embed_ivf", "embed_near_dup",
+    "text_token_bpe", "word_frequency",
+    "dedup_exact", "dedup_jaccard", "dedup_ngram_jaccard",
+    "dedup_minhash", "dedup_simhash",
+    "embed_knn", "embed_lsh", "embed_ivf", "embed_ivf_full",
+    "embed_near_dup", "embed_lsh_near_dup",
     "multimodal_features",
 ]
 

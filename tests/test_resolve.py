@@ -194,3 +194,102 @@ def test_output_text_matches_offsets(akb, aatm, pages_rows):
             if r["kind"] != "date":
                 assert text[r["start"]:r["end"]].replace("\n", " ") \
                     .replace("\r", "") == r["text"]
+
+
+# -- reference quirk guards (SURVEY §1.4) — these protect parity against
+# future refactors; each mirrors a specific reference behavior
+def test_quirk_geo_context_score_zero(akb, aatm):
+    """Context.countries is never populated (context.py:56-58,88) so geo
+    candidates always get context score 0 — the city can only win on
+    static score."""
+    from ner_spark.semantics.resolve import Context, Mention, Register
+    from ner_spark.semantics.resolve import offsets_of_paragraphs
+
+    text = "Washington Washington Washington"
+    ctx = Context([], akb, offsets_of_paragraphs(text), [], text)
+    assert ctx.country_percentile("United States") == 0.0
+
+
+def test_quirk_org_scored_with_event_columns():
+    """entity.py:236-239 passes 'organization' (z) but context.py:307-310
+    compares 'organisation' (s) — organizations take the event START/END
+    date columns, not FOUNDED/CANCELLED."""
+    from ner_spark.semantics.kb import KBBundle
+    from ner_spark.semantics.resolve import Context, offsets_of_paragraphs
+    from ner_spark.semantics.dates import DateMatch, ISODate
+
+    rows = [dict(id=1, type="organization", name="Atlas Institute",
+                 founded="1900", cancelled="1950", start="1800", end="1810",
+                 description="org")]
+    kb = KBBundle.from_rows(rows)
+    text = "In 1900 the Atlas Institute hired ."
+    d1900 = DateMatch(3, 7, "1900", ISODate(1900), 80)
+    ctx = Context([d1900], kb, offsets_of_paragraphs(text), [], text)
+    # 'organization' goes through the else branch → START/END columns:
+    # paragraph date 1900 matches neither 1800 nor 1810 → date_score 0
+    score_z = ctx.org_event_percentile(1, "organization")
+    assert score_z == 0.0
+    # the (never-reached-by-entities) 'organisation' spelling would use
+    # FOUNDED=1900 and score the date
+    score_s = ctx.org_event_percentile(1, "organisation")
+    assert score_s > 0.0
+
+
+def test_quirk_char_iteration_buckets(akb):
+    """Context buckets per-paragraph mention counts under single CHARS of
+    the type string (context.py:109-111) — the well-known quirk; geo
+    entities land under the LAST char of their type path."""
+    from ner_spark.semantics.resolve import (Context, Mention, Register,
+                                             offsets_of_paragraphs)
+
+    text = "Prague is nice . Prague again ."
+    m1 = Mention(0, 6, "Prague", [3])
+    m1.candidates = [3]
+    m1.preferred_sense = 3
+    m1.poorly_disambiguated = False
+    ctx = Context([m1], akb, offsets_of_paragraphs(text), [], text)
+    t = akb.get_ent_type(3)  # 'geographical'
+    bucket = ctx.mentions[0].get(t[-1])
+    assert bucket and bucket.get("Prague") == 1
+    # every char of the type string exists as a (mostly empty) bucket
+    for ch in t:
+        assert ch in ctx.mentions[0]
+
+
+def test_quirk_first_candidate_order_is_namelist_order():
+    """§1.4.4: candidate order = namelist order (confidence desc), and
+    without context the FIRST candidate wins, not the set-iteration order."""
+    from ner_spark.semantics.kb import KBBundle, build_namelist
+    from ner_spark.semantics.automaton import GazetteerAutomaton
+    from ner_spark.semantics.recognize import recognize
+
+    rows = [
+        dict(id=1, type="thing", name="Atlas", description="d"),
+        dict(id=2, type="thing", name="Atlas", description="d" * 80,
+             wiki_backlinks=999, wiki_hits=999, wiki_ps=1),
+    ]
+    kb = KBBundle.from_rows(rows)
+    atm = GazetteerAutomaton.build(
+        build_namelist(kb, filter_keys=False, add_pronouns=False,
+                       add_subname_fragments=False).items())
+    assert dict(atm.iter_keys())["Atlas"] == (2, 1)  # conf desc
+    out = recognize(kb, atm, "the Atlas broke .")
+    assert out[0]["sense"] == 2
+
+
+def test_long_document_smoke(akb, aatm):
+    """1 MB document: bounded runtime, correct offsets (no quadratic
+    behavior in the offset-set algebra)."""
+    import time
+
+    block = ("George Washington visited Prague on 1732-02-22 . "
+             + "Filler words with Capitalized Tokens appear here . " * 3)
+    text = block * (1_000_000 // len(block))
+    t0 = time.perf_counter()
+    out = recognize(akb, aatm, text)
+    dt = time.perf_counter() - t0
+    assert dt < 30, dt
+    assert len(out) > 1000
+    for r in out[:50]:
+        if r["kind"] != "date":
+            assert text[r["start"]:r["end"]].replace("\n", " ") == r["text"]
