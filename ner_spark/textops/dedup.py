@@ -63,27 +63,40 @@ def jaccard_pairs(df: DataFrame, block_col: str, threshold: float = 0.5,
 def ngram_jaccard_pairs(df: DataFrame, block_col: str, n: int = 3,
                         threshold: float = 0.5, id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
-    """Word-n-gram-shingle Jaccard within a blocking key — JVM-side shingle
-    construction (transform over an index sequence), distinct shingles, then
-    the same intersect/union arithmetic as :func:`jaccard_pairs`."""
+    """Word-n-gram-shingle Jaccard within a blocking key.
+
+    Scale formulation: explode distinct shingles, equi-join on
+    (block, shingle) so |intersection| is a pair COUNT — no per-pair array
+    intersection, and pairs with zero shared shingles never materialize
+    (they cannot pass any threshold > 0).  |union| = n1 + n2 − inter from
+    per-doc shingle counts."""
     toks = tokens_col(text_col)
     shingles = F.array_distinct(F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
     t = df.select(F.col(id_col), F.col(block_col).alias("block"),
                   shingles.alias("sh"))
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-    union = F.size(F.array_union("a.sh", "b.sh"))
-    return (
-        a.join(b, "block")
+    sizes = t.select(F.col(id_col).alias("_id"), F.size("sh").alias("n_sh"))
+    ex = t.select(id_col, "block", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, ["block", "s"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id1"),
-                F.col(f"b.{id_col}").alias("id2"),
-                (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+        .groupBy(F.col(f"a.{id_col}").alias("id1"),
+                 F.col(f"b.{id_col}").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
+    out = (
+        inter
+        .join(sizes.withColumnRenamed("_id", "id1")
+                   .withColumnRenamed("n_sh", "n1"), "id1")
+        .join(sizes.withColumnRenamed("_id", "id2")
+                   .withColumnRenamed("n_sh", "n2"), "id2")
+        .withColumn("jaccard", F.col("inter").cast("double")
+                    / (F.col("n1") + F.col("n2") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _shingle_hashes(text: str, shingle: int) -> np.ndarray:
