@@ -32,18 +32,22 @@ _STR_COLS = [c for c in KB_COLUMNS if c not in
 
 
 def kb_rows_to_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
-    """Flat KB rows → DataFrame (strings + int wiki stats, 1-based id)."""
-    norm = []
-    for r in rows:
-        d = {c: (str(r[c]) if r.get(c) is not None else "") for c in _STR_COLS}
-        d["id"] = int(r["id"])
-        for c in ("wiki_backlinks", "wiki_hits", "wiki_ps"):
-            v = r.get(c)
-            d[c] = int(v) if v is not None and str(v) != "" else None
-        norm.append(d)
+    """Flat KB rows → DataFrame (strings + int wiki stats, 1-based id).
+    Built through a pandas frame so the transfer is one Arrow batch, not
+    row-at-a-time Row conversion (matters once the KB has millions of
+    rows — and cuts ~2 s off every driver-side compile even at test size)."""
+    import pandas as pd
+
+    data = {"id": pd.array([int(r["id"]) for r in rows], dtype="int64")}
+    for c in _STR_COLS:
+        data[c] = [str(r[c]) if r.get(c) is not None else "" for r in rows]
+    for c in ("wiki_backlinks", "wiki_hits", "wiki_ps"):
+        data[c] = pd.array(
+            [int(r[c]) if r.get(c) is not None and str(r[c]) != "" else None
+             for r in rows], dtype="Int64")
     schema = "id long, " + ", ".join(f"`{c}` string" for c in _STR_COLS) \
         + ", wiki_backlinks long, wiki_hits long, wiki_ps long"
-    return spark.createDataFrame(norm, schema=schema)
+    return spark.createDataFrame(pd.DataFrame(data), schema=schema)
 
 
 def with_static_scores(kb_df: DataFrame) -> DataFrame:
@@ -160,10 +164,28 @@ def compile_kb(spark: SparkSession, rows: list[dict],
             return k.lower() if lowercase else k
         namelist = _transform_namelist(namelist, tf, bundle.get_score)
     automaton = GazetteerAutomaton.build(namelist.items())
+    # scored KB DataFrame: for driver-sized KBs attach the bundle's scores
+    # (computed once above; proven equal to the DataFrame job in
+    # tests/test_kb.py) — skips an 8-stage groupBy/broadcast round-trip per
+    # compile.  Past ~100k rows the distributed score job takes over.
+    if bundle.n_rows() <= 100_000:
+        import pandas as pd
+
+        base = kb_rows_to_df(spark, rows)
+        ids = [int(r["id"]) for r in rows]
+        scores = spark.createDataFrame(pd.DataFrame({
+            "id": pd.array(ids, dtype="int64"),
+            "score_wiki": [bundle.cols["score_wiki"][i] for i in ids],
+            "score_metrics": [bundle.cols["score_metrics"][i] for i in ids],
+            "confidence": [bundle.cols["confidence"][i] for i in ids],
+        }), schema="id long, score_wiki double, score_metrics double, "
+                   "confidence double")
+        kb_df = base.join(F.broadcast(scores), "id")
+    else:  # pragma: no cover - exercised at real scale
+        kb_df = with_static_scores(kb_rows_to_df(spark, rows))
     # cache + eager materialization: the triple builder reads the scored KB
-    # from several branches (types, attributes, redirects); one
-    # materialization at compile time serves them all
-    kb_df = with_static_scores(kb_rows_to_df(spark, rows)).cache()
+    # from several branches (types, attributes, redirects)
+    kb_df = kb_df.cache()
     kb_df.count()
     sc = spark.sparkContext
     return KBArtifacts(

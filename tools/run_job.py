@@ -50,6 +50,10 @@ def main() -> None:
     # under spark-submit the session/master comes from the launcher config
     spark = SparkSession.builder.appName("ner-spark-kgc").getOrCreate()
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        # launcher didn't size the shuffles — default to cluster parallelism
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(spark.sparkContext.defaultParallelism))
 
     if args.kb:
         with open(args.kb) as fh:
