@@ -32,14 +32,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-n", "--names", action="store_true")
     ap.add_argument("-l", "--lowercase", action="store_true")
     ap.add_argument("-r", "--remove-accent", action="store_true")
-    ap.add_argument("-q", "--lang", default="en", choices=["en"])
+    ap.add_argument("-q", "--lang", default="en", choices=["en", "cs", "sk"])
     args = ap.parse_args(argv)
 
     rec = LocalRecognizer(kb_tsv=args.kb, lowercase=args.lowercase,
-                          deaccent=args.remove_accent)
+                          deaccent=args.remove_accent, lang=args.lang)
     mode = "all" if args.print_all else ("score" if args.score else "default")
 
     def emit(text: str, doc_mode: str = mode, find_names: bool = args.names):
+        from ner_spark.semantics.lang import get_lang
         from ner_spark.semantics.recognize import render_reference_lines
         from ner_spark.semantics.resolve import resolve_document
         from ner_spark.semantics.textnorm import (remove_accent_unicode,
@@ -53,7 +54,8 @@ def main(argv: list[str] | None = None) -> int:
         matches = rec.automaton.scan(t)
         rows = resolve_document(
             t, [(m.ids, m.start, m.end, m.fragment) for m in matches],
-            rec.bundle, find_names=find_names, mode=doc_mode)
+            rec.bundle, find_names=find_names, mode=doc_mode,
+            lang=get_lang(args.lang))
         for line in render_reference_lines(rows):
             print(line)
 

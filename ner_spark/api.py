@@ -18,15 +18,17 @@ from ner_spark.semantics.recognize import recognize, render_reference_lines
 
 def _compile_local(kb_rows: list[dict], lowercase: bool = False,
                    deaccent: bool = False, uri_mode: bool = False,
-                   stop_list: set[str] | None = None):
+                   stop_list: set[str] | None = None, lang: str = "en"):
     from ner_spark.kb.build import _transform_namelist
+    from ner_spark.semantics.lang import get_lang
     from ner_spark.semantics.textnorm import remove_accent
 
     bundle = KBBundle.from_rows(kb_rows)
     if uri_mode:
         namelist = build_uri_namelist(bundle)
     else:
-        namelist = build_namelist(bundle, stop_list=stop_list)
+        namelist = build_namelist(bundle, stop_list=stop_list,
+                                  lang=get_lang(lang))
     if lowercase or deaccent:
         def tf(k: str) -> str:
             if deaccent:
@@ -42,7 +44,7 @@ class LocalRecognizer:
     def __init__(self, kb_rows: list[dict] | None = None,
                  kb_tsv: str | None = None, lowercase: bool = False,
                  deaccent: bool = False, uri_mode: bool = False,
-                 stop_list: set[str] | None = None):
+                 stop_list: set[str] | None = None, lang: str = "en"):
         if kb_rows is None:
             if kb_tsv is None:
                 from ner_spark.fixtures.gen import gen_kb_rows
@@ -53,14 +55,17 @@ class LocalRecognizer:
                     _, _, kb_rows = read_kb_tsv(fh)
         self.lowercase = lowercase
         self.deaccent = deaccent
+        self.lang = lang
         self.bundle, self.automaton = _compile_local(
-            kb_rows, lowercase, deaccent, uri_mode, stop_list)
+            kb_rows, lowercase, deaccent, uri_mode, stop_list, lang)
 
     def recognize(self, text: str, mode: str = "default",
                   find_names: bool = False) -> list[dict]:
+        from ner_spark.semantics.lang import get_lang
+
         rows = recognize(self.bundle, self.automaton, text,
                          lowercase=self.lowercase, deaccent=self.deaccent,
-                         find_names=find_names)
+                         find_names=find_names, lang=get_lang(self.lang))
         return rows
 
     def recognize_lines(self, text: str, **kw) -> list[str]:

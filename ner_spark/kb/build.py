@@ -139,7 +139,8 @@ def compile_kb(spark: SparkSession, rows: list[dict],
                add_subname_fragments: bool = True,
                lowercase: bool = False,
                deaccent: bool = False,
-               uri_mode: bool = False) -> KBArtifacts:
+               uri_mode: bool = False,
+               lang: str = "en") -> KBArtifacts:
     """Driver-side KB compile + broadcast (rebuilt when the KB snapshot
     changes, the analogue of the ETag/version handshake ner.py:756-810).
 
@@ -149,6 +150,9 @@ def compile_kb(spark: SparkSession, rows: list[dict],
     from ner_spark.semantics.textnorm import remove_accent
 
     bundle = KBBundle.from_rows(rows)
+    from ner_spark.semantics.lang import get_lang
+
+    lang_mod = get_lang(lang)
     if uri_mode:
         # URI automaton (-u, KB2namelist.py:907-922): URL keys only
         namelist = build_uri_namelist(bundle)
@@ -156,7 +160,8 @@ def compile_kb(spark: SparkSession, rows: list[dict],
         namelist = build_namelist(bundle, stop_list=stop_list,
                                   filter_keys=filter_keys,
                                   add_pronouns=add_pronouns,
-                                  add_subname_fragments=add_subname_fragments)
+                                  add_subname_fragments=add_subname_fragments,
+                                  lang=lang_mod)
     if lowercase or deaccent:
         def tf(k: str) -> str:
             if deaccent:

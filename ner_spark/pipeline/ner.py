@@ -74,7 +74,7 @@ def scan_mentions(pages: DataFrame, artifacts: KBArtifacts,
 def extract_mentions(pages: DataFrame, artifacts: KBArtifacts,
                      url_col: str = "url", text_col: str = "text",
                      lowercase: bool = False, deaccent: bool = False,
-                     find_names: bool = False) -> DataFrame:
+                     find_names: bool = False, lang: str = "en") -> DataFrame:
     """pages → final mention rows (scan + stages b-k fused, zero-shuffle).
 
     ``lowercase``/``deaccent`` mirror the reference's ``-d``/``-r`` modes
@@ -87,9 +87,11 @@ def extract_mentions(pages: DataFrame, artifacts: KBArtifacts,
     atm_bc = artifacts.automaton_bc
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ner_spark.semantics.lang import get_lang
         from ner_spark.semantics.resolve import resolve_document
         from ner_spark.semantics.textnorm import remove_accent_unicode
 
+        lang_mod = get_lang(lang)
         bundle = bundle_bc.value
         atm = atm_bc.value
         cols = ["url", "start", "end", "par", "kind", "text",
@@ -104,7 +106,8 @@ def extract_mentions(pages: DataFrame, artifacts: KBArtifacts,
                 matches = [(m.ids, m.start, m.end, m.fragment)
                            for m in atm.scan(text)]
                 for r in resolve_document(text, matches, bundle,
-                                          find_names=find_names):
+                                          find_names=find_names,
+                                          lang=lang_mod):
                     rows.append((url, r["start"], r["end"], r["par"], r["kind"],
                                  r["text"], r["sense"], r["iso"], r["confidence"]))
             yield pd.DataFrame(rows, columns=cols)

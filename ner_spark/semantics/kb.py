@@ -380,6 +380,7 @@ def build_namelist(
     filter_keys: bool = True,
     add_pronouns: bool = True,
     add_subname_fragments: bool = True,
+    lang: "object" = None,
 ) -> dict[str, list[int]]:
     """Key → ordered KB ids (+ trailing 0 for the 'N' fragment marker).
 
@@ -476,7 +477,8 @@ def build_namelist(
         else:
             out[f] = [0]
     if add_pronouns:
-        for p in PRONOUNS:
+        pronouns = PRONOUNS if lang is None else lang.pronouns
+        for p in pronouns:
             out.setdefault(p, [0])
             out.setdefault(p.capitalize(), [0])
     return out

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from .automaton import GazetteerAutomaton
 from .kb import KBBundle
+from .lang import EN, LangModule
 from .resolve import resolve_document
 from .textnorm import remove_accent_unicode, sanitize
 
@@ -24,6 +25,7 @@ def recognize(
     lowercase: bool = False,
     deaccent: bool = False,
     find_names: bool = False,
+    lang: LangModule = EN,
 ) -> list[dict]:
     """Returns final mention rows (see resolve_document) for one document."""
     text = sanitize(raw_text)
@@ -34,7 +36,7 @@ def recognize(
     matches = automaton.scan(text)
     return resolve_document(
         text, [(m.ids, m.start, m.end, m.fragment) for m in matches], kb,
-        list_titles, find_names=find_names,
+        list_titles, find_names=find_names, lang=lang,
     )
 
 

@@ -40,7 +40,8 @@ import re
 from typing import Sequence
 
 from .dates import DateMatch, find_dates
-from .kb import MULTIVAL, PRONOUNS, PROPER_NOUNS_PREPS, VERBS, KBBundle
+from .kb import MULTIVAL, KBBundle
+from .lang import EN, LangModule
 from .textnorm import ncr2unicode, remove_accent_unicode
 
 _PAR_RE = re.compile(r"(\r?\n|\r)\1+")  # ner.py:156
@@ -355,24 +356,21 @@ def _right_sentence(text: str, m: Mention) -> str:
 
 
 def _apply_en_sense_rules(m: Mention, kb: KBBundle, text: str) -> None:
-    """EN-specific eliminations (ner/lang_modules/en/entity.py:12-20)."""
-    senses = m.senses
-    senses = [s for s in senses
-              if not (("location" in kb.get_ent_type(s) or "locations" in kb.get_ent_type(s))
-                      and _right_context(text, m, "'s"))]
-    senses = [s for s in senses
-              if not ("location" in kb.get_ent_type(s) and m.source.startswith("The "))]
-    senses = [s for s in senses
-              if not ("location" not in kb.get_ent_type(s) and _left_context(text, m, " into "))]
-    m.senses = senses
+    """EN-specific eliminations (ner/lang_modules/en/entity.py:12-20);
+    kept as a named function for tests — the pipeline goes through the
+    language module's ``sense_rules`` hook."""
+    EN.sense_rules(m, kb, text)
 
 
-def disambiguate_without_context(m: Mention, kb: KBBundle, text: str, register: Register) -> None:
+def disambiguate_without_context(m: Mention, kb: KBBundle, text: str,
+                                 register: Register,
+                                 lang: LangModule = EN) -> None:
     """entity.py:134-207."""
-    if m.source.lower() in PRONOUNS or m.partial_match_senses:
+    if m.source.lower() in lang.pronouns or m.partial_match_senses:
         m.is_coreference = True
         return
-    _apply_en_sense_rules(m, kb, text)
+    if lang.sense_rules:
+        lang.sense_rules(m, kb, text)
 
     # artist → exclude groups (intended semantics; see module docstring)
     for s in m.senses:
@@ -383,7 +381,7 @@ def disambiguate_without_context(m: Mention, kb: KBBundle, text: str, register: 
     # verb + JOBS elimination (entity.py:151-185)
     sentence = _right_sentence(text, m)
     verb_index = -1
-    for verb in VERBS:
+    for verb in lang.verbs:
         verb_index = sentence.find(verb)
         if verb_index != -1:
             break
@@ -471,20 +469,21 @@ def disambiguate_with_context(m: Mention, kb: KBBundle, ctx: Context, register: 
 # coreference (ner.py:333-375, entity.py:269-352)
 # ---------------------------------------------------------------------------
 
-def _is_location_coreference(m: Mention, text: str) -> bool:
-    """en/entity.py:23-25."""
-    return m.source == "There" and any(
-        _right_context(text, m, s)
-        for s in (" is ", " are ", " was ", " were ", " has ", " have ", " had "))
+def _is_location_coreference(m: Mention, text: str,
+                             lang: LangModule = EN) -> bool:
+    """en/entity.py:23-25 for EN; the base class returns False
+    (ner/entity.py:265-266) — languages without the hook suppress nothing."""
+    return bool(lang.location_coref) and lang.location_coref(m, text)
 
 
 def resolve_pronoun_coreference(m: Mention, kb: KBBundle, ctx: Context,
-                                register: Register, text: str) -> None:
+                                register: Register, text: str,
+                                lang: LangModule = EN) -> None:
     """entity.py:269-352 (gender-register state machine, kept verbatim in
     behavior including the promote-unknown-gender moves)."""
-    if _is_location_coreference(m, text):
+    if _is_location_coreference(m, text, lang):
         return
-    ptype = PRONOUNS[m.source.lower()]
+    ptype = lang.pronouns[m.source.lower()]
     bop = m.begin_of_paragraph if m.begin_of_paragraph is not None else 0
     if "M" in ptype:
         if ctx.last_unknown_gender:
@@ -543,7 +542,8 @@ def fix_poor_disambiguation(entities: list[Mention], kb: KBBundle,
 
 
 def resolve_coreferences(entities: list[Mention], kb: KBBundle, ctx: Context,
-                         register: Register, text: str) -> None:
+                         register: Register, text: str,
+                         lang: LangModule = EN) -> None:
     """ner.py:333-375 (default mode, print_all=False)."""
     for e in entities:
         if not e.is_coreference and e.has_preferred_sense():
@@ -567,13 +567,13 @@ def resolve_coreferences(entities: list[Mention], kb: KBBundle, ctx: Context,
                 elif e.senses:
                     e.is_coreference = False
                     e.partial_match_senses = frozenset()
-                    disambiguate_without_context(e, kb, text, register)
+                    disambiguate_without_context(e, kb, text, register, lang)
                     disambiguate_with_context(e, kb, ctx, register)
-            elif e.source.lower() in PRONOUNS:
-                resolve_pronoun_coreference(e, kb, ctx, register, text)
+            elif e.source.lower() in lang.pronouns:
+                resolve_pronoun_coreference(e, kb, ctx, register, text, lang)
             elif e.senses:
                 e.is_coreference = False
-                disambiguate_without_context(e, kb, text, register)
+                disambiguate_without_context(e, kb, text, register, lang)
                 disambiguate_with_context(e, kb, ctx, register)
         if e.has_preferred_sense():
             ctx.update(e)
@@ -583,9 +583,12 @@ def resolve_coreferences(entities: list[Mention], kb: KBBundle, ctx: Context,
 # relational filters (ner.py:161-174, 484-573)
 # ---------------------------------------------------------------------------
 
-def find_proper_nouns(text: str, list_titles: set[str] = frozenset()) -> list[tuple[int, int]]:
+def find_proper_nouns(text: str, list_titles: set[str] = frozenset(),
+                      preps_set: frozenset = None) -> list[tuple[int, int]]:
     """ner.py:161-174."""
-    preps = "".join(r"| {}".format(re.escape(p)) for p in PROPER_NOUNS_PREPS)
+    if preps_set is None:
+        preps_set = EN.proper_nouns_preps
+    preps = "".join(r"| {}".format(re.escape(p)) for p in sorted(preps_set))
     rx = re.compile(
         r"(?<!\. |\? |! |: |\s{2})[A-Z][A-Za-z'\-]*( [A-Z][A-Za-z'\-]*"
         + preps + r")* [A-Z][A-Za-z'\-]*")
@@ -610,11 +613,12 @@ def remove_shorter_entities(mentions: list[Mention]) -> list[Mention]:
 
 
 def resolve_overlapping_proper_nouns(entities: list[Mention], text: str,
-                                     list_titles: set[str] = frozenset()) -> list[Mention]:
+                                     list_titles: set[str] = frozenset(),
+                                     lang: LangModule = EN) -> list[Mention]:
     """ner.py:499-547 — drop entities partially overlapping a proper noun
     unless the uncovered part has no spaces or has apostrophes."""
     clean = remove_accent_unicode(text)
-    proper = find_proper_nouns(clean, list_titles)
+    proper = find_proper_nouns(clean, list_titles, lang.proper_nouns_preps)
     pn_offsets: set[int] = set()
     pn_index: dict[int, tuple[int, int]] = {}
     for pn in proper:
@@ -646,14 +650,15 @@ def resolve_overlapping_proper_nouns(entities: list[Mention], text: str,
     return out
 
 
-def remove_nearby_entities(entities: list[Mention], kb: KBBundle, text: str) -> list[Mention]:
+def remove_nearby_entities(entities: list[Mention], kb: KBBundle, text: str,
+                           lang: LangModule = EN) -> list[Mention]:
     """ner.py:549-573 — adjacent same-type person/location pairs dropped.
     NB the reference wraps get_ent_type in a 1-element set, so the
     {'person','location'} test is EQUALITY with the full type string."""
     for i in range(1, len(entities)):
         ent, bef = entities[i], entities[i - 1]
-        if ent.has_preferred_sense() and ent.source.lower() not in PRONOUNS:
-            if bef.has_preferred_sense() and bef.source.lower() not in PRONOUNS:
+        if ent.has_preferred_sense() and ent.source.lower() not in lang.pronouns:
+            if bef.has_preferred_sense() and bef.source.lower() not in lang.pronouns:
                 if re.search("^[ ]+$", text[bef.end:ent.start]):
                     t1 = {kb.get_ent_type(ent.get_preferred_sense())}
                     t2 = {kb.get_ent_type(bef.get_preferred_sense())}
@@ -751,6 +756,7 @@ def resolve_document(
     list_titles: set[str] = frozenset(),
     find_names: bool = False,
     mode: str = "default",
+    lang: LangModule = EN,
 ) -> list[dict]:
     """Run stages b-k on one (sanitized) document.
 
@@ -782,7 +788,7 @@ def resolve_document(
     for e in figa_entities:  # ner.py:635-641
         if e.is_nationality:
             nationalities.append(e)
-        elif e.senses or e.partial_match_senses or e.source.lower() in PRONOUNS:
+        elif e.senses or e.partial_match_senses or e.source.lower() in lang.pronouns:
             entities.append(e)
 
     dates_found = find_dates(text, split_interval=True)
@@ -796,7 +802,7 @@ def resolve_document(
     entities_and_dates.sort(key=lambda x: x.start)
 
     for e in entities:
-        disambiguate_without_context(e, kb, text, register)
+        disambiguate_without_context(e, kb, text, register, lang)
 
     paragraphs = offsets_of_paragraphs(text)
     ctx = Context(entities_and_dates, kb, paragraphs, nationalities, text)
@@ -806,13 +812,14 @@ def resolve_document(
     ctx = Context(entities_and_dates, kb, paragraphs, nationalities, text)
 
     name_corefs = [e for e in entities
-                   if e.source.lower() not in PRONOUNS
+                   if e.source.lower() not in lang.pronouns
                    and not e.source.lower().startswith("the ")]
-    resolve_coreferences(name_corefs, kb, ctx, register, text)
-    resolve_coreferences(entities, kb, ctx, register, text)
+    resolve_coreferences(name_corefs, kb, ctx, register, text, lang)
+    resolve_coreferences(entities, kb, ctx, register, text, lang)
 
-    entities = resolve_overlapping_proper_nouns(entities, text, list_titles)
-    kept = set(map(id, remove_nearby_entities(entities, kb, text)))
+    entities = resolve_overlapping_proper_nouns(entities, text, list_titles,
+                                                lang)
+    kept = set(map(id, remove_nearby_entities(entities, kb, text, lang)))
     entities_and_dates = [
         e for e in entities_and_dates
         if isinstance(e, DateMatch) or id(e) in kept]

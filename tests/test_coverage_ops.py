@@ -254,3 +254,44 @@ def test_render_reference_lines(spark, variant_rows):
         "7\t17\tkb\tWashington\t2",
         "21\t31\tdate\t1999-12-28\t1999-12-28",
     ]
+
+
+# -- language modules (§2.10) ----------------------------------------------
+
+def test_cs_language_module():
+    from ner_spark.api import LocalRecognizer
+
+    rows = [
+        dict(id=1, type="person", name="Karel Novák", gender="M",
+             description="Český skladatel." * 3, jobs="skladatel",
+             roles="skladatel", wiki_backlinks=100, wiki_hits=100, wiki_ps=1),
+        dict(id=2, type="event", name="Bitva na Moravě", start="1620",
+             description="event", wiki_backlinks=10, wiki_hits=10, wiki_ps=1),
+        dict(id=3, type="organization", name="Bitva na Moravě",
+             description="org named like the event" * 2,
+             wiki_backlinks=500, wiki_hits=500, wiki_ps=1),
+    ]
+    rec = LocalRecognizer(kb_rows=rows, lang="cs")
+    # cs pronoun coreference: 'on' resolves to the last male person
+    out = rec.recognize("Karel Novák přijel . Potom on promluvil .")
+    on = [r for r in out if r["text"] == "on"]
+    assert on and on[0]["kind"] == "coref" and on[0]["sense"] == 1
+    # cs sense rule: after " během " only event senses survive, so the
+    # ambiguous surface resolves to the event (id 2), not the stronger org
+    out2 = rec.recognize("Stalo se to během Bitva na Moravě .")
+    hit = [r for r in out2 if r["text"] == "Bitva na Moravě"]
+    assert hit and hit[0]["sense"] == 2
+    # EN pronouns are NOT corefs in cs
+    out3 = rec.recognize("Karel Novák přijel . He spoke .")
+    assert not any(r["text"] == "He" for r in out3)
+
+
+def test_sk_language_module():
+    from ner_spark.semantics.lang import get_lang
+
+    sk = get_lang("sk")
+    assert sk.pronouns["ona"] == "F" and " bol " in sk.verbs
+    assert sk.sense_rules is None and sk.location_coref is None
+    import pytest as _p
+    with _p.raises(ValueError, match="unknown language"):
+        get_lang("xx")
