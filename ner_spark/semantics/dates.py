@@ -120,6 +120,7 @@ class DateMatch(NamedTuple):
     iso: ISODate          # the date (interval halves are pre-split)
     confidence: int       # 100 sure / 80 unsure (dates.py:386-389)
     is_interval_part: bool = False
+    iso_to: ISODate | None = None  # set only for unsplit intervals
 
 
 def _czech_month_number(mword: str) -> str | None:
@@ -180,8 +181,10 @@ def find_dates(text: str, split_interval: bool = True) -> list[DateMatch]:
                 out.append(DateMatch(start, start + len(left), left, iso_from, conf, True))
                 r0 = start + sep.end()
                 out.append(DateMatch(r0, r0 + len(right), right, iso_to, conf, True))
-            else:  # pragma: no cover - default path splits
-                out.append(DateMatch(start, start + len(s), s, iso_from, conf, True))
+            else:
+                # interval kept whole (Date.Type.INTERVAL, dates.py:155-165)
+                out.append(DateMatch(start, start + len(s), s, iso_from, conf,
+                                     True, iso_to))
         else:
             iso = _parse_one(s)
             if not iso:

@@ -50,7 +50,7 @@ def render_reference_lines(rows: list[dict]) -> list[str]:
     scores exactly like Entity.__str__'s display_score branch."""
     out = []
     for r in rows:
-        if r["kind"] == "date":
+        if r["kind"] in ("date", "interval"):
             tail = r["iso"]
         elif r.get("cands"):
             parts = []

@@ -757,6 +757,7 @@ def resolve_document(
     find_names: bool = False,
     mode: str = "default",
     lang: LangModule = EN,
+    split_interval: bool = True,
 ) -> list[dict]:
     """Run stages b-k on one (sanitized) document.
 
@@ -791,7 +792,7 @@ def resolve_document(
         elif e.senses or e.partial_match_senses or e.source.lower() in lang.pronouns:
             entities.append(e)
 
-    dates_found = find_dates(text, split_interval=True)
+    dates_found = find_dates(text, split_interval=split_interval)
     ent_offsets: set[int] = set()
     for e in entities:
         ent_offsets.update(range(e.start, e.end + 1))
@@ -851,10 +852,14 @@ def resolve_document(
     for e in entities_and_dates:
         par = paragraphs[bisect_right(paragraphs, e.start) - 1]
         if isinstance(e, DateMatch):
+            if e.iso_to is not None:  # unsplit interval (Date.__str__:177-179)
+                kind, iso = "interval", f"{e.iso.iso()} -- {e.iso_to.iso()}"
+            else:
+                kind, iso = "date", e.iso.iso()
             out.append({
-                "start": e.start, "end": e.end, "par": par, "kind": "date",
+                "start": e.start, "end": e.end, "par": par, "kind": kind,
                 "text": e.source, "sense": None,
-                "iso": e.iso.iso(), "confidence": e.confidence,
+                "iso": iso, "confidence": e.confidence,
             })
         else:
             kind = "coref" if e.is_coreference else ("name" if e.is_name else "kb")
