@@ -617,6 +617,8 @@ def resolve_overlapping_proper_nouns(entities: list[Mention], text: str,
                                      lang: LangModule = EN) -> list[Mention]:
     """ner.py:499-547 — drop entities partially overlapping a proper noun
     unless the uncovered part has no spaces or has apostrophes."""
+    if not entities:  # nothing can be dropped; skip the per-char passes
+        return []
     clean = remove_accent_unicode(text)
     proper = find_proper_nouns(clean, list_titles, lang.proper_nouns_preps)
     pn_offsets: set[int] = set()
