@@ -24,7 +24,7 @@ from pyspark.storagelevel import StorageLevel
 
 from pyspark.sql import functions as F
 
-from ner_spark.io.catalog import (LINEAGE_DIR, _append_lineage, _lineage_of,
+from ner_spark.io.catalog import (_append_lineage, _lineage_of,
                                   completed_buckets, resumable_write,
                                   with_bucket)
 from ner_spark.kb.build import KBArtifacts, compile_kb

@@ -157,9 +157,14 @@ def _parse_one(s: str) -> ISODate | None:
     return ISODate(d.year, d.month, d.day)
 
 
+_ANY_DIGIT_RE = re.compile(r"\d")
+
+
 def find_dates(text: str, split_interval: bool = True) -> list[DateMatch]:
     """Reference ``find_dates`` semantics (dates.py:343-402)."""
     out: list[DateMatch] = []
+    if not _ANY_DIGIT_RE.search(text):
+        return out  # every date pattern requires a digit; skip the big scan
     for m in _ALL_RE.finditer(text):
         s = m.group(1)
         start = m.start(1)
