@@ -99,6 +99,65 @@ def q_revenue_by_nation(spark, sf_dir):
     )
 
 
+def q_tpch_q3_like(spark, sf_dir):
+    """Shipping-priority style 3-way join + agg + top-k."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(F.round(rev, 2).alias("revenue"))
+          .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+          .limit(10)
+    )
+
+
+def q_tpch_q5_like(spark, sf_dir):
+    """Local-supplier-volume style 5-way join."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(s, li.l_suppkey == s.s_suppkey)
+          .join(F.broadcast(c), (o.o_custkey == c.c_custkey)
+                & (c.c_nationkey == s.s_nationkey))
+          .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+          .groupBy("n_name")
+          .agg(F.round(rev, 2).alias("revenue"))
+    )
+
+
+def q_tpch_q10_like(spark, sf_dir):
+    """Returned-item style join + per-customer revenue, top 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-10-01")
+        & (F.col("o_orderdate") < "1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(F.round(rev, 2).alias("revenue"))
+          .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+          .limit(20)
+    )
+
+
 def q_customers_without_orders(spark, sf_dir):
     """LEFT ANTI join (NOT EXISTS pushed to a single hash join)."""
     c = _t(spark, sf_dir, "customer")
@@ -293,6 +352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "top_order_per_customer": q_top_order_per_customer,
         "revenue_by_nation": q_revenue_by_nation,
+        "tpch_q3_like": q_tpch_q3_like,
+        "tpch_q5_like": q_tpch_q5_like,
+        "tpch_q10_like": q_tpch_q10_like,
         "customers_without_orders": q_customers_without_orders,
         "customers_with_orders": q_customers_with_orders,
         "click_only_users": q_click_only_users,
@@ -394,6 +456,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "salted_count": """
             SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+        """,
+        "tpch_q3_like": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5_like": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "tpch_q10_like": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer

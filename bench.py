@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "kgc_triples", "kgc_mention_counts", "kgc_comention_pairs",
     "kgc_connected_components", "kgc_mention_kb_join",
-    "tpch_q1", "revenue_by_nation", "revenue_rollup",
+    "tpch_q1", "tpch_q3_like", "tpch_q5_like", "tpch_q10_like",
+    "revenue_by_nation", "revenue_rollup",
     "top_order_per_customer", "salted_count", "asof_join_events",
     "windowed_event_counts", "customers_without_orders",
     "customers_with_orders", "click_only_users",
