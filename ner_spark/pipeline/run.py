@@ -62,7 +62,11 @@ def extract_mentions_resumable(
     todo_buckets = sorted(
         r._bucket for r in todo_pages.select("_bucket").distinct().collect())
     if not todo_buckets:
-        return spark.read.parquet(path).drop("bucket")
+        if done:
+            return spark.read.parquet(path).drop("bucket")
+        # empty corpus, nothing ever written: empty mentions table
+        from ner_spark.pipeline.ner import MENTION_SCHEMA
+        return spark.createDataFrame([], MENTION_SCHEMA)
     mentions = extract_mentions(todo_pages, artifacts, url_col=url_col,
                                 text_col=text_col, **extract_kw)
     bdf = with_bucket(mentions, "url", n_buckets).persist()

@@ -95,3 +95,22 @@ def test_aggregate_partial_pushdown(spark, sf_dir):
 def test_arrow_enabled(spark):
     assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_semi_anti_joins_broadcast(spark, sf_dir):
+    """EXISTS/NOT-EXISTS compile to single broadcast semi/anti hash joins."""
+    import __spark_entry__ as e
+
+    anti = _plan(e.q_customers_without_orders(spark, sf_dir))
+    semi = _plan(e.q_customers_with_orders(spark, sf_dir))
+    assert "LeftAnti" in anti and "BroadcastHashJoin" in anti
+    assert "LeftSemi" in semi and "BroadcastHashJoin" in semi
+    assert "SortMergeJoin" not in anti + semi
+
+
+def test_window_single_shuffle(spark, sf_dir):
+    """The per-customer top-k window shuffles exactly once."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_top_order_per_customer(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
