@@ -44,7 +44,7 @@ def sanitized_pages(pages: DataFrame, url_col: str = "url",
     Null text becomes "" (real crawl tables contain nulls; the reference
     would never see them — stdin always yields a string)."""
     return pages.select(
-        F.col(url_col).alias("url"),
+        F.col(url_col).cast("string").alias("url"),
         F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
                          _SANITIZE_JAVA, " ").alias("text"),
     )

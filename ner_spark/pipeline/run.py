@@ -53,8 +53,11 @@ def extract_mentions_resumable(
 
     LRow = namedtuple("LRow", "bucket n_rows fingerprint")
     done = set(completed_buckets(spark, path))
+    # cast to string FIRST: the mention-side bucket hashes the string url,
+    # and xxhash64(long) != xxhash64(string) for the same value
     pages_b = pages.withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)).cast("int"))
+        "_bucket", F.pmod(F.xxhash64(F.col(url_col).cast("string")),
+                          F.lit(n_buckets)).cast("int"))
     todo_pages = pages_b.filter(~F.col("_bucket").isin(list(done))) if done \
         else pages_b
     # buckets being processed this run — a column-pruned url scan; zero-

@@ -87,3 +87,23 @@ def test_resumable_mentions_compute_prune(spark, artifacts, pages_rows, tmp_path
     # fully-resumed rerun is a no-op returning the same table
     again = extract_mentions_resumable(spark, pages, artifacts, path, n_buckets=8)
     assert again.count() == got.count()
+
+
+def test_resumable_mentions_numeric_url_column(spark, artifacts, tmp_path):
+    """Numeric url columns must hash consistently on both sides of the
+    bucket bookkeeping (page prune vs mention lineage)."""
+    from ner_spark.io.catalog import read_lineage
+    from ner_spark.pipeline.run import extract_mentions_resumable
+
+    pages = spark.createDataFrame(
+        [(i, "George Washington spoke .") for i in range(20)],
+        "url long, text string")
+    path = str(tmp_path / "m")
+    got = extract_mentions_resumable(spark, pages, artifacts, path, n_buckets=4)
+    n1 = got.count()
+    lineage = {r.bucket: r.n_rows for r in read_lineage(spark, path).collect()}
+    assert sum(lineage.values()) == n1 and n1 > 0
+    # rerun: everything skipped, identical table
+    again = extract_mentions_resumable(spark, pages, artifacts, path, n_buckets=4)
+    assert again.count() == n1
+    assert len({r.bucket for r in read_lineage(spark, path).collect()}) == len(lineage)
