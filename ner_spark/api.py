@@ -98,6 +98,7 @@ class Engine:
         from ner_spark.pipeline.ner import extract_mentions
         kw.setdefault("lowercase", self._compile_kw.get("lowercase", False))
         kw.setdefault("deaccent", self._compile_kw.get("deaccent", False))
+        kw.setdefault("lang", self._compile_kw.get("lang", "en"))
         return extract_mentions(pages, self.artifacts, **kw)
 
     def triples(self, pages, **kw):

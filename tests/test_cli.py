@@ -94,3 +94,18 @@ def test_cli_score_mode(kb_tsv):
     cand_tail = marie.split("\t")[-1]
     assert cand_tail.startswith("2 ")  # "cand score" format
     float(cand_tail.split(" ")[1])     # score parses as a number
+
+
+def test_engine_propagates_lang(spark):
+    from ner_spark.api import Engine
+
+    rows = [dict(id=1, type="person", name="Karel Novák", gender="M",
+                 description="Skladatel." * 3, jobs="skladatel",
+                 roles="skladatel", wiki_backlinks=50, wiki_hits=50,
+                 wiki_ps=1)]
+    eng = Engine(spark, kb_rows=rows, lang="cs")
+    df = spark.createDataFrame(
+        [("d1", "Karel Novák přijel . Potom on promluvil .")],
+        "url string, text string")
+    got = {(r.kind, r.text, r.sense) for r in eng.mentions(df).collect()}
+    assert ("coref", "on", 1) in got  # cs pronoun resolved in the UDF
