@@ -28,9 +28,8 @@ from ner_spark.pipeline.triples import build_triples, comention_edges
 from ner_spark.similarity.ann import (brute_force_topk, embedding_near_dups,
                                       lsh_near_dup_pairs, lsh_topk)
 from ner_spark.textops.analysis import (fingerprint, lang_id, quality_score,
-                                        token_stats, tokens_col,
-                                        word_frequency)
-from ner_spark.textops.analysis import token_counts_bpe
+                                        token_counts_bpe, token_stats,
+                                        tokens_col, word_frequency)
 from ner_spark.textops.dedup import (exact_duplicates, jaccard_pairs,
                                      minhash_lsh_pairs, ngram_jaccard_pairs,
                                      simhash_near_dups)

@@ -53,14 +53,17 @@ def stream_mentions(
     out_path: str,
     checkpoint: str,
     trigger_once: bool = True,
+    **extract_kw,
 ) -> StreamingQuery:
-    """Watch ``input_path`` for page parquet files; append mention rows."""
+    """Watch ``input_path`` for page parquet files; append mention rows.
+    ``extract_kw`` (lang/lowercase/deaccent/find_names) forwards to
+    :func:`extract_mentions`."""
     pages = (
         spark.readStream.schema(PAGES_SCHEMA).parquet(input_path)
     )
 
     def handle(batch_df, epoch_id: int) -> None:
-        (extract_mentions(batch_df, artifacts)
+        (extract_mentions(batch_df, artifacts, **extract_kw)
          .write.mode("append").parquet(out_path))
 
     writer = pages.writeStream.foreachBatch(handle).option(
