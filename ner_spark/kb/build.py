@@ -35,16 +35,24 @@ def kb_rows_to_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """Flat KB rows → DataFrame (strings + int wiki stats, 1-based id).
     Built through a pandas frame so the transfer is one Arrow batch, not
     row-at-a-time Row conversion (matters once the KB has millions of
-    rows — and cuts ~2 s off every driver-side compile even at test size)."""
+    rows — and cuts ~2 s off every driver-side compile even at test size).
+
+    The nullable wiki columns are object-dtype with real ``None``s, NOT
+    pandas ``Int64``: the session config decides whether createDataFrame
+    takes the Arrow path or the row-at-a-time ``_createFromLocal``
+    fallback, and under the fallback ``pd.NA`` degrades to float NaN which
+    LongType rejects.  Object+None converts identically under both paths,
+    so this function is Arrow-config-independent (round-1 driver failure:
+    FIELD_DATA_TYPE_UNACCEPTABLE_WITH_NAME on wiki_backlinks)."""
     import pandas as pd
 
     data = {"id": pd.array([int(r["id"]) for r in rows], dtype="int64")}
     for c in _STR_COLS:
         data[c] = [str(r[c]) if r.get(c) is not None else "" for r in rows]
     for c in ("wiki_backlinks", "wiki_hits", "wiki_ps"):
-        data[c] = pd.array(
+        data[c] = pd.Series(
             [int(r[c]) if r.get(c) is not None and str(r[c]) != "" else None
-             for r in rows], dtype="Int64")
+             for r in rows], dtype=object)
     schema = "id long, " + ", ".join(f"`{c}` string" for c in _STR_COLS) \
         + ", wiki_backlinks long, wiki_hits long, wiki_ps long"
     return spark.createDataFrame(pd.DataFrame(data), schema=schema)

@@ -2,7 +2,11 @@
 on Spark and its oracle_sql() on DuckDB at a given sf dir; compare row count,
 column names and an order-insensitive value hash.  Usage:
 
-    python tools/check_contract.py [sf_dir] [query ...]
+    python tools/check_contract.py [--no-arrow] [sf_dir] [query ...]
+
+``--no-arrow`` disables Arrow-batched createDataFrame/toPandas conversion,
+replicating the driver harness environment that caught round 1's
+Int64-NA bug; run the gate BOTH ways before shipping.
 """
 
 from __future__ import annotations
@@ -44,13 +48,19 @@ def value_hash(rows, cols) -> str:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    no_arrow = "--no-arrow" in args
+    args = [a for a in args if a != "--no-arrow"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from ner_spark.session import get_spark
 
     spark = get_spark("contract-check")
+    if no_arrow:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+        print("(arrow disabled)")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
