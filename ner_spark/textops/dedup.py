@@ -182,6 +182,66 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 64, bands: int = 16,
     return out
 
 
+def lsh_jaccard_pairs(df: DataFrame, block_col: str | None = None,
+                      threshold: float = 0.5, num_hashes: int = 128,
+                      bands: int = 64, seed: int = 42,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact distinct-token Jaccard pairs, but with MinHash-LSH candidate
+    generation instead of an all-pairs cross product — the scale-correct
+    composition of :func:`minhash_lsh_pairs` (candidates) and
+    :func:`jaccard_pairs` (verify): candidates come from a banded-signature
+    equi-join, and the exact Jaccard is computed ONLY on candidates.
+
+    Same output contract as :func:`jaccard_pairs` (id1 < id2, jaccard ≥
+    threshold, rounded 6), so the exhaustive SQL oracle applies verbatim.
+    Recall: with ``rows_per_band = num_hashes/bands = 2``, a pair at true
+    Jaccard s survives with p = 1 − (1 − s²)^bands; at the design point
+    s ≥ 0.5, bands=64 → miss ≤ (3/4)^64 ≈ 1e-8 per qualifying pair.
+    ``block_col`` optionally scopes pairs to a blocking key (joined into
+    the band key, so hot blocks still hash-partition across buckets)."""
+    rows_per_band = num_hashes // bands
+    toks = df.select(
+        F.col(id_col),
+        *( [F.col(block_col).alias("block")] if block_col else [] ),
+        F.array_distinct(tokens_col(text_col)).alias("toks"))
+    # signatures over token sets (shingle=1) so the signature similarity
+    # estimates exactly the quantity the verify step thresholds on
+    sigs = minhash_signatures(df, num_hashes, shingle=1, seed=seed,
+                              id_col=id_col, text_col=text_col)
+    banded = sigs.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                                .cast("array<string>").cast("string")).alias("bh"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    join_key = ["band", "bh"]
+    if block_col:
+        banded = banded.join(
+            toks.select(id_col, "block"), id_col)
+        join_key = ["block", "band", "bh"]
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, join_key)
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id1"),
+                F.col(f"b.{id_col}").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    t1 = toks.select(F.col(id_col).alias("id1"), F.col("toks").alias("toks1"))
+    t2 = toks.select(F.col(id_col).alias("id2"), F.col("toks").alias("toks2"))
+    verified = (
+        cand.join(t1, "id1").join(t2, "id2")
+        .withColumn("jaccard",
+                    F.size(F.array_intersect("toks1", "toks2")).cast("double")
+                    / F.size(F.array_union("toks1", "toks2")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """64-bit SimHash over token FNV hashes (numpy bit-count trick)."""
@@ -206,18 +266,42 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(fn, schema=f"{id_col} long, simhash long")
 
 
+def simhash_band_bounds(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) per band: ``max_hamming + 1`` bands covering 64 bits.
+
+    Pigeonhole guarantee: a pair at Hamming distance ≤ ``max_hamming`` has
+    at least one band with zero differing bits, so the band equi-join has
+    recall 1.0 at the configured radius (round-1 bug: fixed 4×16-bit bands
+    silently dropped distance-4..8 pairs at ``max_hamming=8``)."""
+    n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    base, rem = divmod(64, n_bands)
+    widths = [base + 1] * rem + [base] * (n_bands - rem)
+    bounds, off = [], 0
+    for w in widths:
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
 def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
-    (pigeonhole: distance ≤3 ⇒ one chunk equal), equi-join on chunks,
-    verify Hamming distance with bit_count."""
+    """Near-dup pairs by SimHash: band the 64 bits into ``max_hamming + 1``
+    chunks (pigeonhole: distance ≤ max_hamming ⇒ one chunk equal), equi-join
+    on chunks, verify Hamming distance with bit_count.
+
+    Scale note: larger radii mean narrower bands (64/(h+1) bits) and
+    therefore bigger buckets — at web scale keep the radius small (≤3 →
+    16-bit bands) or pre-block on a coarse key before banding."""
     sigs = simhash_signatures(df, id_col, text_col)
     chunks = sigs.select(
         id_col, "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
-                     F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"))
-            for c in range(4)
+                     F.shiftrightunsigned("simhash", off)
+                      .bitwiseAND(F.lit((1 << w) - 1)).alias("ck"))
+            for c, (off, w) in enumerate(simhash_band_bounds(max_hamming))
         ])).alias("cc"),
     ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck"))
     a, b = chunks.alias("a"), chunks.alias("b")

@@ -65,3 +65,23 @@ def test_lsh_topk_subset_of_bruteforce_cosines(emb_df, vecs):
         cos = float(vecs[r.query_id] @ vecs[r.neighbor_id]
                     / (norms[r.query_id] * norms[r.neighbor_id]))
         assert r.cosine == pytest.approx(round(cos, 6), abs=1e-6)
+
+
+def test_block_gemm_near_dups_exact_vs_numpy(emb_df, vecs):
+    """Distributed block GEMM must equal the numpy all-pairs product for
+    every block count (1 block = single GEMM; 8 > sqrt(N) exercises the
+    cross-block emit on both triangles)."""
+    from ner_spark.similarity.ann import embedding_near_dups
+
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = np.round((vecs / norms) @ (vecs / norms).T, 6)
+    thr = 0.3
+    want = {(i, j): cos[i, j] for i in range(N) for j in range(i + 1, N)
+            if cos[i, j] >= thr}
+    for nb in (1, 3, 8):
+        got = {(r.id1, r.id2): r.cosine
+               for r in embedding_near_dups(emb_df, threshold=thr,
+                                            n_blocks=nb).collect()}
+        assert got.keys() == want.keys(), f"n_blocks={nb}"
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=2e-6)

@@ -120,3 +120,73 @@ def test_token_counts_bpe(spark):
     assert r.n_ws_tokens == 3
     # hello | , | world | 4 | 2 | !
     assert r.n_bpe_tokens == 6
+
+
+def test_simhash_band_bounds_cover_64_bits():
+    from ner_spark.textops.dedup import simhash_band_bounds
+
+    for h in (0, 1, 3, 5, 8, 16, 63):
+        bounds = simhash_band_bounds(h)
+        assert len(bounds) == h + 1
+        assert sum(w for _, w in bounds) == 64
+        # contiguous, non-overlapping
+        off = 0
+        for o, w in bounds:
+            assert o == off and w >= 1
+            off += w
+
+
+def test_simhash_recall_vs_bruteforce(spark):
+    """Pigeonhole-banding recall gate: at every radius, the banded join
+    must return EXACTLY the pairs brute force finds (round-1 bug: fixed
+    4x16-bit bands lost distance-4..8 pairs at max_hamming=8)."""
+    from ner_spark.textops.dedup import simhash_near_dups, simhash_signatures
+
+    # many small docs over a shared vocabulary -> a spread of Hamming
+    # distances incl. the 4..8 range the old banding dropped
+    vocab = ("red blue green gold iron stone wolf raven king queen "
+             "ship storm night dawn ash elm oak fen moor vale").split()
+    rows = []
+    for i in range(40):
+        toks = [vocab[(i * 7 + j * 3) % len(vocab)] for j in range(12)]
+        if i % 3 == 0:
+            toks[i % 12] = vocab[(i * 5 + 1) % len(vocab)]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r.doc_id: r.simhash & 0xFFFFFFFFFFFFFFFF
+            for r in simhash_signatures(df).collect()}
+    for h in (3, 5, 8):
+        want = {(a, b) for a in sigs for b in sigs if a < b
+                and bin(sigs[a] ^ sigs[b]).count("1") <= h}
+        got = {(r.id1, r.id2) for r in
+               simhash_near_dups(df, max_hamming=h).collect()}
+        assert got == want, f"radius {h}: {got ^ want}"
+
+
+def test_lsh_jaccard_equals_allpairs_kernel(docs_df):
+    """The composed LSH-candidates + exact-verify query must reproduce the
+    exhaustive all-pairs kernel exactly at the design threshold."""
+    from ner_spark.textops.dedup import lsh_jaccard_pairs
+
+    for block in ("source", None):
+        kw = dict(block_col=block, threshold=0.5)
+        want = {(r.id1, r.id2): r.jaccard
+                for r in jaccard_pairs(docs_df, block_col=block or "source",
+                                       threshold=0.5).collect()} if block else None
+        got = {(r.id1, r.id2): r.jaccard
+               for r in lsh_jaccard_pairs(docs_df, **kw).collect()}
+        if block:
+            assert got == want
+        else:
+            # unblocked: superset of the blocked result, same values
+            assert (1, 4) in got and got[(1, 4)] == 1.0
+
+
+def test_lsh_jaccard_plan_has_no_cross_product(docs_df):
+    from ner_spark.textops.dedup import lsh_jaccard_pairs
+
+    plan = lsh_jaccard_pairs(docs_df, block_col="source", threshold=0.5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
