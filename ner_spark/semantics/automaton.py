@@ -143,20 +143,32 @@ class GazetteerAutomaton:
         self.keys["".join(parts)] = tuple(ids)
 
     def scan(self, text: str) -> list[Match]:
-        """Longest-match, non-overlapping scan; matches start/end at words."""
-        words = tokenize(text)
+        """Longest-match, non-overlapping scan; matches start/end at words.
+
+        Hot path: one ``finditer`` pass fills flat span arrays (no Word
+        namedtuple per token), and the inter-word separator is computed
+        LAZILY — only while extending a candidate match path, which for
+        typical text is a small fraction of words (most fail the ``first``
+        probe and cost exactly one dict lookup).  Observably identical to
+        walking :func:`tokenize` output."""
+        texts: list[str] = []
+        starts: list[int] = []
+        ends: list[int] = []
+        for mo in _TOKEN_RE.finditer(text):
+            texts.append(mo.group())
+            starts.append(mo.start())
+            ends.append(mo.end())
         out: list[Match] = []
         keys = self.keys
         prefixes = self.prefixes
         first = self.first
-        nw = len(words)
+        nw = len(texts)
         i = 0
         while i < nw:
-            w = words[i]
-            if w.text not in first:
+            if texts[i] not in first:
                 i += 1
                 continue
-            path = w.text
+            path = texts[i]
             j = i
             best_j = -1
             best_ids: tuple[int, ...] | None = None
@@ -166,14 +178,21 @@ class GazetteerAutomaton:
                     best_j, best_ids = j, ids
                 if path not in prefixes:
                     break
-                sep = words[j].sep
-                if sep is None or j + 1 >= nw:
-                    break
+                if j + 1 >= nw:
+                    break  # EOF acts as a strong delimiter
+                gap_s, gap_e = ends[j], starts[j + 1]
+                if gap_s == gap_e:
+                    sep = ""
+                else:
+                    gap = text[gap_s:gap_e]
+                    if "\n" in gap or "\r" in gap:
+                        break  # strong delimiter terminates the path
+                    sep = " "
                 j += 1
-                path = path + sep + words[j].text
+                path = path + sep + texts[j]
             if best_ids is not None:
-                start = w.start
-                end = words[best_j].end
+                start = starts[i]
+                end = ends[best_j]
                 out.append(Match(best_ids, start, end, text[start:end]))
                 i = best_j + 1  # consume matched words → no overlaps
             else:

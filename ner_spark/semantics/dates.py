@@ -130,9 +130,15 @@ def _czech_month_number(mword: str) -> str | None:
     return None
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 14)
 def _parse_one(s: str) -> ISODate | None:
     """dates.py:324-356 ``get_date``: bare year, else Czech-month
-    substitution + dateutil parse (dayfirst unless year-led/month-led)."""
+    substitution + dateutil parse (dayfirst unless year-led/month-led).
+    Pure string→immutable-tuple, so memoized per worker (date surfaces
+    repeat heavily; dateutil.parse is the cost)."""
     if _ONLY_YEAR_RE.search(s):
         return ISODate(int(s))
     dayfirst = True

@@ -169,6 +169,13 @@ class KBBundle:
     cols: dict[str, list]  # column name → list indexed by id
     name_dict: dict[str, frozenset[int]] = field(default_factory=dict)
     nationality_forms: frozenset[str] = frozenset()
+    # per-process memo caches for hot derived values (candidates repeat
+    # heavily under a Zipf mention distribution); keys are KB line ids so
+    # the caches are bounded by n_rows — they fill lazily in each worker
+    # after broadcast unpickling and are never invalidated (KB immutable)
+    _nat_cache: dict = field(default_factory=dict, repr=False)
+    _dates_cache: dict = field(default_factory=dict, repr=False)
+    _multival_cache: dict = field(default_factory=dict, repr=False)
 
     # -- reference accessor surface ------------------------------------
     def n_rows(self) -> int:
@@ -198,24 +205,46 @@ class KBBundle:
         except (ValueError, TypeError, KeyError, IndexError):
             return 0.0
 
-    def get_dates(self, line: int) -> set[str]:
-        if "person" in self.get_ent_type(line):
-            d = {self.get_data_for(line, "DATE OF BIRTH"),
-                 self.get_data_for(line, "DATE OF DEATH")}
-            d.discard("")
-            return d
-        return set()
+    def get_dates(self, line: int) -> frozenset[str]:
+        c = self._dates_cache.get(line)
+        if c is None:
+            if "person" in self.get_ent_type(line):
+                d = {self.get_data_for(line, "DATE OF BIRTH"),
+                     self.get_data_for(line, "DATE OF DEATH")}
+                d.discard("")
+                c = frozenset(d)
+            else:
+                c = frozenset()
+            self._dates_cache[line] = c
+        return c
 
-    def get_nationalities(self, line: int) -> set[str]:
-        t = self.get_ent_type(line)
-        nation: list[str] = []
-        if "nationality" in t:
-            nation = self.get_data_for(line, "ALIASES", separator=MULTIVAL)
-            nation.append(self.get_data_for(line, "NAME"))
-            nation.append(self.get_data_for(line, "COUNTRY"))
-        elif "person" in t:
-            nation = self.get_data_for(line, "NATIONALITIES", separator=MULTIVAL)
-        return {n.lower() for n in nation if n != ""}
+    def get_nationalities(self, line: int) -> frozenset[str]:
+        c = self._nat_cache.get(line)
+        if c is None:
+            t = self.get_ent_type(line)
+            nation: list[str] = []
+            if "nationality" in t:
+                nation = self.get_data_for(line, "ALIASES", separator=MULTIVAL)
+                nation.append(self.get_data_for(line, "NAME"))
+                nation.append(self.get_data_for(line, "COUNTRY"))
+            elif "person" in t:
+                nation = self.get_data_for(line, "NATIONALITIES", separator=MULTIVAL)
+            c = frozenset(n.lower() for n in nation if n != "")
+            self._nat_cache[line] = c
+        return c
+
+    def get_multival(self, line: int, col_name: str) -> tuple[str, ...]:
+        """Cached multi-value column split: () when the cell is empty —
+        iterating it is behaviour-identical to the reference's guarded
+        ``if data: for v in data.split('|')`` and to iterating the raw
+        ``''.split('|') == ['']`` (the '' entry never matches anything)."""
+        key = (line, col_name)
+        c = self._multival_cache.get(key)
+        if c is None:
+            data = self.get_data_for(line, col_name)
+            c = tuple(data.split(MULTIVAL)) if data else ()
+            self._multival_cache[key] = c
+        return c
 
     def people_named(self, subname: str) -> frozenset[int]:
         return self.name_dict.get(subname, frozenset())

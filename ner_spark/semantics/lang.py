@@ -36,18 +36,22 @@ class LangModule:
 def _en_sense_rules(m, kb, text) -> None:
     from ner_spark.semantics.resolve import _left_context, _right_context
 
-    senses = m.senses
-    senses = [s for s in senses
-              if not (("location" in kb.get_ent_type(s)
-                       or "locations" in kb.get_ent_type(s))
-                      and _right_context(text, m, "'s"))]
-    senses = [s for s in senses
-              if not ("location" in kb.get_ent_type(s)
-                      and m.source.startswith("The "))]
-    senses = [s for s in senses
-              if not ("location" not in kb.get_ent_type(s)
-                      and _left_context(text, m, " into "))]
-    m.senses = senses
+    # single pass; note "locations" in t implies "location" in t, so the
+    # reference's two-spellings test collapses to one substring check
+    rs = _right_context(text, m, "'s")
+    the = m.source.startswith("The ")
+    ls = _left_context(text, m, " into ")
+    if not (rs or the or ls):
+        return  # no rule can eliminate anything
+    out = []
+    for s in m.senses:
+        loc = "location" in kb.get_ent_type(s)
+        if loc and (rs or the):
+            continue
+        if not loc and ls:
+            continue
+        out.append(s)
+    m.senses = out
 
 
 def _en_location_coref(m, text) -> bool:

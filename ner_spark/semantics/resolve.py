@@ -37,6 +37,8 @@ Deliberately reproduced reference quirks (they change outputs):
 from __future__ import annotations
 
 import re
+from bisect import bisect_left, bisect_right
+from functools import lru_cache
 from typing import Sequence
 
 from .dates import DateMatch, find_dates
@@ -54,6 +56,16 @@ def offsets_of_paragraphs(text: str) -> list[int]:
     return out
 
 
+_MISSING = object()
+
+
+@lru_cache(maxsize=8192)
+def _uniq_chars(t: str) -> tuple[str, ...]:
+    """First-seen-order unique chars of a type string — setdefault over
+    this tuple builds the same buckets as the reference's full char loop."""
+    return tuple(dict.fromkeys(t))
+
+
 def _ordered_dedup(items) -> list:
     seen = set()
     out = []
@@ -68,7 +80,8 @@ class Mention:
     """A detected mention (the reference's mutable Entity, entity.py:21-86)."""
 
     __slots__ = (
-        "start", "end", "source", "senses", "partial_match_senses",
+        "start", "end", "source", "source_lower", "senses",
+        "partial_match_senses",
         "candidates", "score", "static_score", "context_score",
         "preferred_sense", "is_coreference", "is_name", "is_nationality",
         "poorly_disambiguated", "next_to_same_type", "begin_of_paragraph",
@@ -77,10 +90,14 @@ class Mention:
     def __init__(self, start: int, end: int, fragment: str, ids: Sequence[int]):
         self.start = start
         self.end = end
-        self.source = ncr2unicode(fragment)
+        self.source = fragment if "&#" not in fragment else ncr2unicode(fragment)
+        self.source_lower = self.source.lower()  # hot in pronoun/coref checks
         # sense 0 marks pronoun/fragment (ner.py:417, entity.py:70); order
         # kept = namelist order (confidence desc) per SURVEY §1.4.4
-        self.senses: list[int] = _ordered_dedup(s for s in ids if s != 0)
+        if len(ids) == 1:  # dominant case — skip the dedup machinery
+            self.senses = [] if ids[0] == 0 else [ids[0]]
+        else:
+            self.senses = _ordered_dedup(s for s in ids if s != 0)
         self.partial_match_senses: frozenset[int] = frozenset()
         self.candidates: list[int] = []
         self.score: list[float] = []
@@ -122,21 +139,31 @@ class Mention:
 
 
 class Register:
-    """EntityRegister (ner/entity_register.py:6-27)."""
+    """EntityRegister (ner/entity_register.py:6-27).
+
+    Same observable contract as the reference's id↔entity list maps, but
+    the per-sense collections are insertion-ordered dicts keyed by
+    ``id(mention)`` so re-pointing a mention is O(1) instead of a linear
+    identity scan (the reference's list discard/append)."""
 
     def __init__(self) -> None:
-        self.id2entity: dict[int | None, list[Mention]] = {}
+        self._id2entity: dict[int | None, dict[int, Mention]] = {}
         self.entity2id: dict[int, int | None] = {}
 
     def insert(self, m: Mention, sense: int | None) -> None:
         key = id(m)
-        if key in self.entity2id:
-            old = self.entity2id[key]
-            self.id2entity[old] = [x for x in self.id2entity.get(old, []) if x is not m]
+        old = self.entity2id.get(key, _MISSING)
+        if old is not _MISSING:
+            bucket = self._id2entity.get(old)
+            if bucket is not None:
+                bucket.pop(key, None)
         self.entity2id[key] = sense
-        self.id2entity.setdefault(sense, [])
-        if not any(x is m for x in self.id2entity[sense]):
-            self.id2entity[sense].append(m)
+        self._id2entity.setdefault(sense, {})[key] = m
+
+    def mentions_of(self, sense) -> list["Mention"]:
+        """Insertion-ordered mentions registered under ``sense``."""
+        bucket = self._id2entity.get(sense)
+        return list(bucket.values()) if bucket else []
 
 
 class Context:
@@ -178,37 +205,38 @@ class Context:
                 if name not in self.people_nationalities[par]:
                     self.people_nationalities[par].append(name)
                 nat_index += 1
-            par_text = ""
+            par_text = None  # sliced lazily, once per paragraph
             while ent_index < len(entities_and_dates) and entities_and_dates[ent_index].start < nxt:
                 ent = entities_and_dates[ent_index]
                 if isinstance(ent, Mention):
-                    par_text = text[par:nxt if nxt < 2**62 else len(text)]
                     ent.begin_of_paragraph = par
                     if not ent.poorly_disambiguated:
-                        t = kb.get_ent_type(ent.get_preferred_sense())
-                        for ch in t:  # char iteration quirk (context.py:109-111)
-                            self.mentions[par].setdefault(ch, {})
+                        pref = ent.get_preferred_sense()
+                        t = kb.get_ent_type(pref)
+                        buckets = self.mentions[par]
+                        for ch in _uniq_chars(t):  # char quirk (context.py:109-111)
+                            buckets.setdefault(ch, {})
                         last_ch = t[-1] if t else ""
-                        name = kb.get_data_for(ent.get_preferred_sense(), "NAME")
+                        name = kb.get_data_for(pref, "NAME")
                         if "geo" in t:
-                            bucket = self.mentions[par].setdefault(last_ch, {})
+                            bucket = buckets.setdefault(last_ch, {})
                             bucket[name] = bucket.get(name, 0) + 1
-                            country = kb.get_data_for(ent.get_preferred_sense(), "COUNTRY")
+                            country = kb.get_data_for(pref, "COUNTRY")
                             if country:
                                 bucket[country] = bucket.get(country, 0) + 1
                             # context.py:126 also bumps country_sum; it is
                             # never read (countries{} never populated) — no-op
                         else:
-                            bucket = self.mentions[par].setdefault(last_ch, {})
+                            bucket = buckets.setdefault(last_ch, {})
                             bucket[name] = bucket.get(name, 0) + 1
                     elif ent.has_preferred_sense():
+                        if par_text is None:
+                            par_text = text[par:nxt if nxt < 2**62 else len(text)]
                         for c in ent.candidates:
                             if "person" in kb.get_ent_type(c):
-                                profs = kb.get_data_for(c, "ROLES")
-                                if profs:
-                                    for p in profs.split(MULTIVAL):
-                                        if par_text.find(p) != -1 and p not in self.people_professions[par]:
-                                            self.people_professions[par].append(p)
+                                for p in kb.get_multival(c, "ROLES"):
+                                    if par_text.find(p) != -1 and p not in self.people_professions[par]:
+                                        self.people_professions[par].append(p)
                 elif isinstance(ent, DateMatch):
                     self.people_dates[par].append(ent.iso.show_without_zeros())
                 ent_index += 1
@@ -226,11 +254,12 @@ class Context:
 
     # context.py:185-207
     def update(self, entity: Mention) -> None:
-        t = self.kb.get_ent_type(entity.get_preferred_sense())
+        pref = entity.get_preferred_sense()
+        t = self.kb.get_ent_type(pref)
         if "person" in t:
             self.before_last_person = self.last_person
             self.last_person = entity
-            gender = self.kb.get_data_for(entity.get_preferred_sense(), "GENDER")
+            gender = self.kb.get_data_for(pref, "GENDER")
             if gender == "M":
                 self.last_male = entity
                 self.last_unknown_gender = None
@@ -277,7 +306,9 @@ class Context:
         if self.people_dates[par]:
             date_score = date_score * 100.0 / len(self.people_dates[par])
         prof_score = 0.0
-        for prof in self.kb.get_data_for(candidate, "ROLES").split(MULTIVAL):
+        # cached tuple; the raw split's [''] entry for an empty cell never
+        # matches a (non-empty) collected profession, so () is equivalent
+        for prof in self.kb.get_multival(candidate, "ROLES"):
             if prof in self.people_professions[par]:
                 prof_score += 1
         if self.people_professions[par]:
@@ -335,15 +366,16 @@ def _left_context(text: str, m: Mention, s: str) -> bool:
 
 
 def _right_sentence(text: str, m: Mention) -> str:
-    """Parenthesis-skipping sentence tail (entity.py:399-413)."""
-    tail = text[m.end:]
-    dot = tail.find(".")
-    head = tail if dot == -1 else tail[:dot + 1]
+    """Parenthesis-skipping sentence tail (entity.py:399-413).
+    Fast path slices only up to the first dot (find on the original
+    string, no whole-tail copy — the tail is O(doc) per mention)."""
+    dot = text.find(".", m.end)
+    head = text[m.end:] if dot == -1 else text[m.end:dot + 1]
     if "(" not in head and ")" not in head:  # fast path: nothing to skip
         return head
     depth = 0
     out = []
-    for ch in tail:
+    for ch in text[m.end:]:
         if ch == ")":
             depth -= 1
         elif ch == "(":
@@ -366,7 +398,7 @@ def disambiguate_without_context(m: Mention, kb: KBBundle, text: str,
                                  register: Register,
                                  lang: LangModule = EN) -> None:
     """entity.py:134-207."""
-    if m.source.lower() in lang.pronouns or m.partial_match_senses:
+    if m.source_lower in lang.pronouns or m.partial_match_senses:
         m.is_coreference = True
         return
     if lang.sense_rules:
@@ -378,29 +410,33 @@ def disambiguate_without_context(m: Mention, kb: KBBundle, text: str,
             m.senses = [x for x in m.senses if "group" not in kb.get_ent_type(x)]
             break
 
-    # verb + JOBS elimination (entity.py:151-185)
-    sentence = _right_sentence(text, m)
+    # verb + JOBS elimination (entity.py:151-185).  The sentence/verb scan
+    # has no side effects and professions can only come from person-typed
+    # senses, so skip it entirely when no sense is person-typed (the
+    # reference computes it unconditionally; results are identical).
     verb_index = -1
-    for verb in lang.verbs:
-        verb_index = sentence.find(verb)
-        if verb_index != -1:
-            break
+    if any(kb.get_ent_type(s) in ("person", "person:artist", "person:fictional")
+           for s in m.senses):
+        sentence = _right_sentence(text, m)
+        for verb in lang.verbs:
+            verb_index = sentence.find(verb)
+            if verb_index != -1:
+                break
     if verb_index != -1:
         professions: list[str] = []
         for s in m.senses:
             if kb.get_ent_type(s) in ("person", "person:artist", "person:fictional"):
-                profs = kb.get_data_for(s, "JOBS")
-                if profs:
-                    cand = [p for p in profs.split(MULTIVAL)
-                            if sentence.find(" " + p + " ", verb_index) != -1]
-                    if cand:
-                        professions = cand
-                        break
+                cand = [p for p in kb.get_multival(s, "JOBS")
+                        if sentence.find(" " + p + " ", verb_index) != -1]
+                if cand:
+                    professions = cand
+                    break
         if professions:
             new_senses = []
             for s in m.senses:
                 if kb.get_ent_type(s) in ("person", "person:artist", "person:fictional"):
-                    for p in kb.get_data_for(s, "JOBS").split(MULTIVAL):
+                    # unguarded split in the reference: '' JOBS yields ['']
+                    for p in kb.get_multival(s, "JOBS") or ("",):
                         if p in professions:
                             new_senses.append(s)
                             break
@@ -456,9 +492,10 @@ def disambiguate_with_context(m: Mention, kb: KBBundle, ctx: Context, register: 
     m.set_preferred_sense(m.candidates[m.score.index(max(m.score))], register)
 
     # explicit per-paragraph person count update (entity.py:253-262)
-    t = kb.get_ent_type(m.get_preferred_sense())
+    pref = m.get_preferred_sense()
+    t = kb.get_ent_type(pref)
     if "person" in t and len(m.candidates) != 1:
-        name = kb.get_data_for(m.get_preferred_sense(), "NAME")
+        name = kb.get_data_for(pref, "NAME")
         par = ctx.paragraphs[ctx.paragraph_index]
         bucket = ctx.mentions[par].setdefault("person", {})
         bucket.setdefault(name, 0)
@@ -483,7 +520,7 @@ def resolve_pronoun_coreference(m: Mention, kb: KBBundle, ctx: Context,
     behavior including the promote-unknown-gender moves)."""
     if _is_location_coreference(m, text, lang):
         return
-    ptype = lang.pronouns[m.source.lower()]
+    ptype = lang.pronouns[m.source_lower]
     bop = m.begin_of_paragraph if m.begin_of_paragraph is not None else 0
     if "M" in ptype:
         if ctx.last_unknown_gender:
@@ -547,8 +584,9 @@ def resolve_coreferences(entities: list[Mention], kb: KBBundle, ctx: Context,
     """ner.py:333-375 (default mode, print_all=False)."""
     for e in entities:
         if not e.is_coreference and e.has_preferred_sense():
-            if "person" in kb.get_ent_type(e.get_preferred_sense()):
-                ctx.people_in_text.add(e.get_preferred_sense())
+            pref = e.get_preferred_sense()
+            if "person" in kb.get_ent_type(pref):
+                ctx.people_in_text.add(pref)
     for e in entities:
         if e.is_coreference:
             e.partial_match_senses = frozenset(
@@ -556,8 +594,8 @@ def resolve_coreferences(entities: list[Mention], kb: KBBundle, ctx: Context,
             if e.partial_match_senses:
                 sense = sorted(e.partial_match_senses,
                                key=lambda c: (-kb.get_score(c), c))[0]
-                candidates = list(register.id2entity.get(sense, []))
-                if not e.source.lower().startswith("the "):
+                candidates = register.mentions_of(sense)
+                if not e.source_lower.startswith("the "):
                     lo = remove_accent_unicode(e.source).lower()
                     candidates = [c for c in candidates
                                   if lo in remove_accent_unicode(c.source).lower()]
@@ -569,7 +607,7 @@ def resolve_coreferences(entities: list[Mention], kb: KBBundle, ctx: Context,
                     e.partial_match_senses = frozenset()
                     disambiguate_without_context(e, kb, text, register, lang)
                     disambiguate_with_context(e, kb, ctx, register)
-            elif e.source.lower() in lang.pronouns:
+            elif e.source_lower in lang.pronouns:
                 resolve_pronoun_coreference(e, kb, ctx, register, text, lang)
             elif e.senses:
                 e.is_coreference = False
@@ -601,14 +639,24 @@ def find_proper_nouns(text: str, list_titles: set[str] = frozenset(),
 
 
 def remove_shorter_entities(mentions: list[Mention]) -> list[Mention]:
-    """ner.py:484-496 — first-come occupancy over [start, end] char sets."""
-    occupied: set[int] = set()
+    """ner.py:484-496 — first-come occupancy over [start, end] char spans.
+
+    Interval formulation of the reference's char-set algebra (a span
+    intersects the occupied set iff it intersects some kept interval);
+    kept intervals are disjoint and bisect-indexed, so this is O(n log n)
+    instead of O(total mention chars)."""
+    kept_starts: list[int] = []
+    kept_ends: list[int] = []
     out = []
     for e in mentions:
-        span = set(range(e.start, e.end + 1))
-        if not (span & occupied):
-            occupied |= span
-            out.append(e)
+        s, t = e.start, e.end  # inclusive occupancy, matching range(s, t+1)
+        idx = bisect_right(kept_starts, t)
+        # intervals with start ≤ t: only the rightmost can reach s (disjoint)
+        if idx > 0 and kept_ends[idx - 1] >= s:
+            continue
+        kept_starts.insert(idx, s)
+        kept_ends.insert(idx, t)
+        out.append(e)
     return out
 
 
@@ -617,37 +665,80 @@ def resolve_overlapping_proper_nouns(entities: list[Mention], text: str,
                                      lang: LangModule = EN) -> list[Mention]:
     """ner.py:499-547 — drop entities partially overlapping a proper noun
     unless the uncovered part has no spaces or has apostrophes."""
-    if not entities:  # nothing can be dropped; skip the per-char passes
+    if not entities:  # nothing can be dropped; skip the scan entirely
         return []
     clean = remove_accent_unicode(text)
     proper = find_proper_nouns(clean, list_titles, lang.proper_nouns_preps)
-    pn_offsets: set[int] = set()
-    pn_index: dict[int, tuple[int, int]] = {}
-    for pn in proper:
-        for o in range(pn[0], pn[1]):
-            pn_offsets.add(o)
-            pn_index[o] = pn
-    ent_offsets: set[int] = set()
-    for e in entities:
-        ent_offsets.update(range(e.start, e.end))
-    diff = pn_offsets - ent_offsets
-    spaces_in_diff = {o for o in diff if clean[o] == " "}
+    if not proper:
+        return list(entities)
+
+    # Interval reformulation of the reference's char-offset set algebra
+    # (O(pn chars) scans instead of per-char set builds over the document):
+    # entity spans are disjoint, so "pn chars not covered by an entity" is
+    # a list of gap subintervals found by walking the sorted entity spans.
+    iv = sorted((e.start, e.end) for e in entities)  # half-open, disjoint
+    n_iv = len(iv)
+
+    def gaps_of(s: int, e: int) -> list[tuple[int, int]]:
+        res: list[tuple[int, int]] = []
+        # bisect to the first entity that can intersect [s, e)
+        i = bisect_left(iv, (s, -1))
+        if i > 0 and iv[i - 1][1] > s:
+            i -= 1
+        cur = s
+        while cur < e:
+            if i >= n_iv or iv[i][0] >= e:
+                res.append((cur, e))
+                break
+            es, ee = iv[i]
+            if es > cur:
+                res.append((cur, min(es, e)))
+            if ee >= e:
+                break
+            cur = max(cur, ee)
+            i += 1
+        return res
+
+    pn_gaps = [gaps_of(s, e) for s, e in proper]
+    spaces_in_diff: set[int] = set()
+    for gaps in pn_gaps:
+        for gs, ge in gaps:
+            for o in range(gs, ge):
+                if clean[o] == " ":
+                    spaces_in_diff.add(o)
     solitary = {o for o in spaces_in_diff
                 if o - 1 not in spaces_in_diff and o + 1 not in spaces_in_diff}
+    # per-pn keep verdict: keep an overlapped entity iff the pn's uncovered
+    # part has no (non-solitary) spaces, or has an apostrophe
+    pn_keep: list[bool] = []
+    for gaps in pn_gaps:
+        has_space = False
+        has_apos = False
+        for gs, ge in gaps:
+            for o in range(gs, ge):
+                c = clean[o]
+                if c == " " and o not in solitary:
+                    has_space = True
+                elif c == "'":
+                    has_apos = True
+        pn_keep.append((not has_space) or has_apos)
+
+    pn_starts = [s for s, _ in proper]
     out = []
     for e in entities:
-        span = set(range(e.start, e.end))
-        overlap = pn_offsets & span
-        if overlap:
-            for opn in {pn_index[o] for o in overlap}:
-                opn_span = set(range(opn[0], opn[1]))
-                d = opn_span - ent_offsets
-                spaces = [o for o in d if clean[o] == " " and o not in solitary]
-                apostrophes = [o for o in d if clean[o] == "'"]
-                if not spaces or apostrophes:
-                    out.append(e)
-                    break
-        else:
+        # pns overlapping [e.start, e.end): pn.start < e.end and pn.end > e.start
+        i = bisect_right(pn_starts, e.start)
+        if i > 0 and proper[i - 1][1] > e.start:
+            i -= 1
+        overlapped = False
+        keep = False
+        while i < len(proper) and proper[i][0] < e.end:
+            overlapped = True
+            if pn_keep[i]:
+                keep = True
+                break
+            i += 1
+        if not overlapped or keep:
             out.append(e)
     return out
 
@@ -659,8 +750,8 @@ def remove_nearby_entities(entities: list[Mention], kb: KBBundle, text: str,
     {'person','location'} test is EQUALITY with the full type string."""
     for i in range(1, len(entities)):
         ent, bef = entities[i], entities[i - 1]
-        if ent.has_preferred_sense() and ent.source.lower() not in lang.pronouns:
-            if bef.has_preferred_sense() and bef.source.lower() not in lang.pronouns:
+        if ent.has_preferred_sense() and ent.source_lower not in lang.pronouns:
+            if bef.has_preferred_sense() and bef.source_lower not in lang.pronouns:
                 if re.search("^[ ]+$", text[bef.end:ent.start]):
                     t1 = {kb.get_ent_type(ent.get_preferred_sense())}
                     t2 = {kb.get_ent_type(bef.get_preferred_sense())}
@@ -772,17 +863,19 @@ def resolve_document(
     register = Register()
     global_senses: set[int] = set()
     figa_entities: list[Mention] = []
+    people_named = kb.people_named
     for ids, start, end, fragment in matches:
         m = Mention(start, end, fragment, ids)
         global_senses.update(m.senses)
         if not m.senses and m.source in kb.nationality_forms:
             m.is_nationality = True  # entity.py:80-83
-        m.partial_match_senses = frozenset(
-            kb.people_named(remove_accent_unicode(m.source).lower()))
+        m.partial_match_senses = people_named(
+            remove_accent_unicode(m.source).lower())  # already a frozenset
         figa_entities.append(m)
 
     for e in figa_entities:  # ner.py:627-628
-        e.partial_match_senses = frozenset(e.partial_match_senses & global_senses)
+        if e.partial_match_senses:
+            e.partial_match_senses = e.partial_match_senses & global_senses
 
     figa_entities = remove_shorter_entities(figa_entities)
 
@@ -791,15 +884,22 @@ def resolve_document(
     for e in figa_entities:  # ner.py:635-641
         if e.is_nationality:
             nationalities.append(e)
-        elif e.senses or e.partial_match_senses or e.source.lower() in lang.pronouns:
+        elif e.senses or e.partial_match_senses or e.source_lower in lang.pronouns:
             entities.append(e)
 
     dates_found = find_dates(text, split_interval=split_interval)
-    ent_offsets: set[int] = set()
-    for e in entities:
-        ent_offsets.update(range(e.start, e.end + 1))
-    dates_found = [d for d in dates_found
-                   if not (set(range(d.start, d.end + 1)) & ent_offsets)]
+    # date–entity overlap (ner.py:648-651) via interval bisect: entity
+    # spans are disjoint after remove_shorter_entities, so a date overlaps
+    # iff the rightmost entity starting at or before its end reaches back
+    # to its start (inclusive ranges on both sides, as in the char sets)
+    iv = sorted((e.start, e.end) for e in entities)
+    iv_starts = [s for s, _ in iv]
+    kept_dates = []
+    for d in dates_found:
+        idx = bisect_right(iv_starts, d.end)
+        if not (idx > 0 and iv[idx - 1][1] >= d.start):
+            kept_dates.append(d)
+    dates_found = kept_dates
 
     entities_and_dates: list = list(dates_found) + list(entities)
     entities_and_dates.sort(key=lambda x: x.start)
@@ -815,8 +915,8 @@ def resolve_document(
     ctx = Context(entities_and_dates, kb, paragraphs, nationalities, text)
 
     name_corefs = [e for e in entities
-                   if e.source.lower() not in lang.pronouns
-                   and not e.source.lower().startswith("the ")]
+                   if e.source_lower not in lang.pronouns
+                   and not e.source_lower.startswith("the ")]
     resolve_coreferences(name_corefs, kb, ctx, register, text, lang)
     resolve_coreferences(entities, kb, ctx, register, text, lang)
 
@@ -847,8 +947,6 @@ def resolve_document(
             if isinstance(e, DateMatch)
             or (e.is_coreference and e.partial_match_senses)
             or (not e.is_coreference and e.senses) or e.is_name]
-
-    from bisect import bisect_right
 
     out = []
     for e in entities_and_dates:
