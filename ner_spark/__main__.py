@@ -61,9 +61,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.daemon:
         for doc, doc_mode, token in iter_daemon_documents(sys.stdin):
-            resolve_mode = doc_mode if doc_mode in ("all", "score") else mode
-            emit(doc, resolve_mode,
-                 find_names=(doc_mode == "names") or args.names)
+            # the token alone selects the mode — plain NER_NEW_FILE/NER_END
+            # always run default (print_all=False/print_score=False) and
+            # without find_names, regardless of CLI -a/-s/-n (ner.py:843-850)
+            resolve_mode = doc_mode if doc_mode in ("all", "score") else "default"
+            emit(doc, resolve_mode, find_names=(doc_mode == "names"))
             print(token)  # sync marker, ner.py:850
             sys.stdout.flush()
         return 0

@@ -24,9 +24,30 @@ from __future__ import annotations
 
 import json
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def dynamic_partition_overwrite(spark: SparkSession):
+    """Set partitionOverwriteMode=dynamic for the duration of a write and
+    restore the previous value — session-wide overwrite semantics must not
+    silently change for unrelated writes later in the session."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 LINEAGE_DIR = "_lineage"
 MANIFEST = "_manifest.json"
@@ -79,7 +100,6 @@ def resumable_write(df: DataFrame, path: str, key: str = "subj",
     many buckets to simulate a mid-job kill.
     """
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     bdf = with_bucket(df, key, n_buckets)
     done = set(completed_buckets(spark, path))
     todo_df = bdf.filter(~F.col("bucket").isin(list(done))) if done else bdf
@@ -91,12 +111,14 @@ def resumable_write(df: DataFrame, path: str, key: str = "subj",
         if fail_after_buckets is not None and fail_after_buckets < len(todo_buckets):
             keep = set(todo_buckets[:fail_after_buckets])
             part = todo_df.filter(F.col("bucket").isin(list(keep)))
-            part.write.mode("overwrite").partitionBy("bucket").parquet(path)
+            with dynamic_partition_overwrite(spark):
+                part.write.mode("overwrite").partitionBy("bucket").parquet(path)
             _append_lineage(spark, path, [r for r in lineage if r.bucket in keep])
             raise RuntimeError(
                 f"injected failure after {fail_after_buckets} buckets")
         if todo_buckets:
-            todo_df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+            with dynamic_partition_overwrite(spark):
+                todo_df.write.mode("overwrite").partitionBy("bucket").parquet(path)
             _append_lineage(spark, path, lineage)
         manifest = {
             "n_buckets": n_buckets, "key": key,

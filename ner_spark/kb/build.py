@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 from ner_spark.semantics.automaton import GazetteerAutomaton
 from ner_spark.semantics.kb import (KB_COLUMNS, KBBundle, build_namelist,
-                                    build_uri_namelist)
+                                    build_uri_namelist,
+                                    filter_namelist_to_wiki, wiki_url_lines)
 
 _STR_COLS = [c for c in KB_COLUMNS if c not in
              ("id", "wiki_backlinks", "wiki_hits", "wiki_ps")]
@@ -148,6 +149,7 @@ def compile_kb(spark: SparkSession, rows: list[dict],
                lowercase: bool = False,
                deaccent: bool = False,
                uri_mode: bool = False,
+               wiki_filter: bool = False,
                lang: str = "en") -> KBArtifacts:
     """Driver-side KB compile + broadcast (rebuilt when the KB snapshot
     changes, the analogue of the ETag/version handshake ner.py:756-810).
@@ -170,6 +172,10 @@ def compile_kb(spark: SparkSession, rows: list[dict],
                                   add_pronouns=add_pronouns,
                                   add_subname_fragments=add_subname_fragments,
                                   lang=lang_mod)
+        if wiki_filter:
+            # F13 (filter_namelist.sh): fragment ('N') rows keep only ids
+            # whose KB line has a wikipedia URL
+            namelist = filter_namelist_to_wiki(namelist, wiki_url_lines(bundle))
     if lowercase or deaccent:
         def tf(k: str) -> str:
             if deaccent:

@@ -25,8 +25,9 @@ from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 
 from ner_spark.io.catalog import (_append_lineage, _lineage_of,
-                                  completed_buckets, resumable_write,
-                                  with_bucket)
+                                  completed_buckets,
+                                  dynamic_partition_overwrite,
+                                  resumable_write, with_bucket)
 from ner_spark.kb.build import KBArtifacts, compile_kb
 from ner_spark.pipeline.ner import extract_mentions
 from ner_spark.pipeline.triples import build_triples
@@ -76,16 +77,17 @@ def extract_mentions_resumable(
     try:
         have = {r.bucket: r for r in _lineage_of(bdf).collect()}
         lineage = [have.get(b, LRow(b, 0, 0)) for b in todo_buckets]
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         if fail_after_buckets is not None and fail_after_buckets < len(todo_buckets):
             keep = set(todo_buckets[:fail_after_buckets])
             part = bdf.filter(F.col("bucket").isin(list(keep)))
-            part.write.mode("overwrite").partitionBy("bucket").parquet(path)
+            with dynamic_partition_overwrite(spark):
+                part.write.mode("overwrite").partitionBy("bucket").parquet(path)
             _append_lineage(spark, path,
                             [r for r in lineage if r.bucket in keep])
             raise RuntimeError(
                 f"injected failure after {fail_after_buckets} buckets")
-        bdf.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        with dynamic_partition_overwrite(spark):
+            bdf.write.mode("overwrite").partitionBy("bucket").parquet(path)
         _append_lineage(spark, path, lineage)
     finally:
         bdf.unpersist()

@@ -128,6 +128,17 @@ class GazetteerAutomaton:
         return atm
 
     def add(self, key: str, ids: Iterable[int]) -> None:
+        """Add a namelist key.
+
+        NOTE (deliberate divergence, documented): keys are tokenized and
+        re-joined with canonical separators, so a key with irregular
+        whitespace (double space, tab) matches single-space text, where the
+        reference's byte-trie stores key bytes verbatim and such a key could
+        never match.  Our namelist builder normalizes whitespace before
+        calling this (build_namelist: ``re.sub(r"\\s+", " ", key)``), so the
+        two behaviours coincide on every key the pipeline produces; only
+        hand-fed irregular keys differ (they become matchable here,
+        unmatchable there).  ``n_keys`` counts post-collapse keys."""
         words = tokenize(key)
         if not words:
             return

@@ -386,6 +386,36 @@ def is_unsuitable_key(key: str, type_str: str) -> bool:
     return False
 
 
+_WIKI_URL_RE = re.compile(r"^https://[a-z\-]*\.wikipedia\.org/wiki/[^\t]*$")
+
+
+def wiki_url_lines(kb: KBBundle) -> frozenset[int]:
+    """KB line ids whose WIKIPEDIA URL matches the reference's sed pattern
+    (filter_namelist.sh: ``https://<xx>.wikipedia.org/wiki/...``; rows whose
+    URL cell doesn't match become blank lines in KB.wiki)."""
+    out = set()
+    for i in range(1, kb.n_rows() + 1):
+        if _WIKI_URL_RE.match(kb.get_data_for(i, "WIKIPEDIA URL").strip()):
+            out.add(i)
+    return frozenset(out)
+
+
+def filter_namelist_to_wiki(namelist: dict[str, list[int]],
+                            wiki_ids: frozenset[int]) -> dict[str, list[int]]:
+    """F13 (automata/src/filter_namelist.{sh,py}): namelist rows carrying
+    the 'N' fragment marker keep only numeric ids whose KB line has a
+    wikipedia URL; the 'N' marker itself (our id 0) is always kept, and
+    rows WITHOUT an 'N' link pass through untouched (filter_namelist.sh
+    greps the N-rows out, filters them, and merges the rest back)."""
+    out: dict[str, list[int]] = {}
+    for key, ids in namelist.items():
+        if 0 in ids:
+            out[key] = [i for i in ids if i == 0 or i in wiki_ids]
+        else:
+            out[key] = list(ids)
+    return out
+
+
 def build_uri_namelist(kb: KBBundle) -> dict[str, list[int]]:
     """URI-mode namelist (``-u``): every URL of every entity becomes a key
     (KB2namelist.process_uri:907-922; URI columns WIKIPEDIA/WIKIDATA/DBPEDIA

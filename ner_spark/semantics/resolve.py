@@ -781,7 +781,7 @@ def _name_candidates(text: str, list_titles: set[str]) -> list[Mention]:
 
 
 def add_unknown_names(entities_and_dates: list, text: str,
-                      list_titles: set[str] = frozenset()) -> None:
+                      list_titles: set[str] = frozenset()) -> list[Mention]:
     """ner.py:211-283 merge semantics: same-surface names share a pseudo
     sense set (negative ids); candidates equal to / contained in an existing
     entity are dropped; candidates containing an entity absorb its senses
@@ -836,6 +836,62 @@ def add_unknown_names(entities_and_dates: list, text: str,
                 break
         else:
             entities_and_dates.append(nne)
+    return new_names
+
+
+def adjust_coreferences(entities_and_dates: list, new_names: list[Mention],
+                        kb: KBBundle, register: Register,
+                        lang: LangModule = EN) -> None:
+    """ner.py:286-332 — after unknown-name discovery, re-point pronoun
+    coreferences that currently resolve to the PREVIOUS person entity onto
+    a discovered name standing between them and the NEXT person entity.
+
+    Reference quirks mirrored exactly:
+      * ``if i_next == None: break`` aborts processing of ALL remaining
+        names, not just this one;
+      * ``if not i_prev`` treats a person antecedent at list index 0 as
+        absent (falsy index);
+      * the comparison uses the name's first sense and the previous
+        person's first raw sense."""
+    ed = entities_and_dates
+    if not ed:
+        return
+    ed_size = len(ed)
+    for n in new_names:
+        index = None
+        for i in range(ed_size):
+            if ed[i] is n:
+                index = i
+                break
+        if index is None:  # defensive: names are inserted above
+            continue
+        i_next = None
+        for i in range(index + 1, ed_size):
+            if isinstance(ed[i], Mention) and ed[i].is_person(kb):
+                i_next = i
+                break
+        i_prev = None
+        for i in range(index - 1, -1, -1):
+            if isinstance(ed[i], Mention) and ed[i].is_person(kb):
+                i_prev = i
+                break
+        if i_next is None:
+            break  # reference: break, not continue (ner.py:311)
+        if ed[i_next].is_name:
+            continue
+        for i in range(index + 1, i_next):
+            e = ed[i]
+            if (isinstance(e, Mention) and e.is_coreference
+                    and e.source_lower in lang.pronouns):
+                if not n.senses:
+                    continue
+                sense = e.get_preferred_sense()
+                n_sense = n.senses[0]
+                if not i_prev:
+                    e.set_preferred_sense(n_sense, register)
+                elif (ed[i_prev].senses and sense == ed[i_prev].senses[0]
+                        and sense != n_sense):
+                    e.set_preferred_sense(n_sense, register)
 
 
 # ---------------------------------------------------------------------------
@@ -928,7 +984,8 @@ def resolve_document(
         if isinstance(e, DateMatch) or id(e) in kept]
 
     if find_names:  # -n mode (ner.py:696-697)
-        add_unknown_names(entities_and_dates, text, list_titles)
+        new_names = add_unknown_names(entities_and_dates, text, list_titles)
+        adjust_coreferences(entities_and_dates, new_names, kb, register, lang)
 
     # final sense filter (ner.py:700-709): default keeps resolved mentions;
     # 'all' (-a) nulls the preferred sense and keeps everything with

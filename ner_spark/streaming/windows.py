@@ -18,21 +18,28 @@ def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
                           key_col: str = "event_type",
                           window: str = "10 minutes",
                           slide: str | None = None,
-                          watermark: str = "30 minutes") -> DataFrame:
-    """events (streaming or batch) → (win_start, win_end, key, n_events,
-    total_value).  ``ts_col`` may be numeric (epoch seconds) or timestamp."""
+                          watermark: str = "30 minutes",
+                          value_col: str | None = "value") -> DataFrame:
+    """events (streaming or batch) → (win_start, win_end, key, n_events
+    [, total_value]).  ``ts_col`` may be numeric (epoch seconds) or
+    timestamp.  ``total_value`` is emitted only when ``value_col`` names a
+    column that exists (pass None, or a schema without it, to count only)."""
     ts = F.col(ts_col)
     src = events.withColumn("_ts", ts.cast("timestamp"))
     if src.isStreaming:
         src = src.withWatermark("_ts", watermark)
     win = F.window("_ts", window, slide) if slide else F.window("_ts", window)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    sum_value = value_col is not None and value_col in events.columns
+    if sum_value:
+        aggs.append(F.round(F.sum(value_col), 2).alias("total_value"))
     return (
         src.groupBy(win.alias("win"), F.col(key_col).alias("key"))
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(*aggs)
         .select(F.col("win.start").alias("win_start"),
                 F.col("win.end").alias("win_end"),
-                "key", "n_events", "total_value")
+                "key", "n_events",
+                *(["total_value"] if sum_value else []))
     )
 
 

@@ -198,3 +198,64 @@ def test_namelist_nick_aliases_not_fragments():
     assert 1 in nl["Ace"]
     assert nl.get("Able") == [0]  # fragment from NAME
     assert nl.get("Baker") == [1, 0]  # surname key + fragment marker
+
+
+def test_filter_namelist_to_wiki_mirrors_reference():
+    """F13: N-rows keep only ids whose KB line has a wiki URL; non-N rows
+    pass through; the N marker (0) survives.  Oracle below is an
+    independent transliteration of filter_namelist.py over the same data."""
+    from ner_spark.semantics.kb import (KBBundle, filter_namelist_to_wiki,
+                                        wiki_url_lines)
+
+    rows = [
+        dict(id=1, type="person", name="Alice",
+             wikipedia_url="https://en.wikipedia.org/wiki/Alice"),
+        dict(id=2, type="person", name="Bob", wikipedia_url=""),
+        dict(id=3, type="person", name="Carl",
+             wikipedia_url="http://en.wikipedia.org/wiki/Carl"),  # http → no
+        dict(id=4, type="person", name="Dana",
+             wikipedia_url="https://cs.wikipedia.org/wiki/Dana"),
+    ]
+    kb = KBBundle.from_rows(rows)
+    wiki = wiki_url_lines(kb)
+    assert wiki == {1, 4}
+
+    namelist = {
+        "Alice": [1],                 # no N → untouched
+        "Bob": [2],                   # no N → untouched even without URL
+        "alice": [1, 2, 0],           # N row → drops 2
+        "carl": [3, 0],               # N row → only N left
+        "dana": [4, 0],
+        "he": [0],
+    }
+    got = filter_namelist_to_wiki(namelist, wiki)
+
+    # independent oracle: reference filter_namelist.py semantics
+    want = {}
+    for key, ids in namelist.items():
+        if 0 in ids:  # grep -P "\t.*N.*$"
+            want[key] = [i for i in ids if (i == 0) or (i in wiki)]
+        else:
+            want[key] = ids
+    assert got == want
+    assert got["alice"] == [1, 0]
+    assert got["carl"] == [0]
+    assert got["Bob"] == [2]
+
+
+def test_compile_kb_wiki_filter_flag(spark):
+    from ner_spark.kb.build import compile_kb
+
+    rows = [
+        dict(id=1, type="person", name="Alice Brown",
+             wikipedia_url="https://en.wikipedia.org/wiki/Alice_Brown"),
+        dict(id=2, type="person", name="Alice Stone", wikipedia_url=""),
+    ]
+    plain = compile_kb(spark, rows)
+    filt = compile_kb(spark, rows, wiki_filter=True)
+    # the shared fragment key 'Alice' is an N-row pointing at both people;
+    # with the filter only the wiki-backed id survives alongside N
+    nk_plain = dict(plain.automaton.iter_keys())
+    nk_filt = dict(filt.automaton.iter_keys())
+    assert set(nk_plain["Alice"]) >= {0}
+    assert all(i in (0, 1) for i in nk_filt["Alice"])

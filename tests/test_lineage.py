@@ -107,3 +107,17 @@ def test_resumable_mentions_numeric_url_column(spark, artifacts, tmp_path):
     again = extract_mentions_resumable(spark, pages, artifacts, path, n_buckets=4)
     assert again.count() == n1
     assert len({r.bucket for r in read_lineage(spark, path).collect()}) == len(lineage)
+
+
+def test_partition_overwrite_mode_restored(spark, tmp_path):
+    """resumable writes must not leave partitionOverwriteMode=dynamic on
+    the shared session (ADVICE round 1)."""
+    from ner_spark.io.catalog import resumable_write
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    df = spark.createDataFrame([(f"s{i}", "p", "o") for i in range(10)],
+                               "subj string, pred string, obj string")
+    resumable_write(df, str(tmp_path / "t"), key="subj", n_buckets=4)
+    assert spark.conf.get(key) == "static"
+    spark.conf.unset(key)

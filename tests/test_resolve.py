@@ -293,3 +293,91 @@ def test_long_document_smoke(akb, aatm):
     for r in out[:50]:
         if r["kind"] != "date":
             assert text[r["start"]:r["end"]].replace("\n", " ") == r["text"]
+
+
+# ---------------------------------------------------------------------------
+# adjust_coreferences (ner.py:286-332) — the pass the reference runs right
+# after add_unknown_names in -n mode
+# ---------------------------------------------------------------------------
+
+def _person_kb():
+    from ner_spark.semantics.kb import KBBundle
+
+    return KBBundle.from_rows([
+        dict(id=1, type="person", name="Alice Brown", gender="F"),
+        dict(id=2, type="person", name="Bob Stone", gender="M"),
+    ])
+
+
+def _mk(start, end, frag, senses, *, coref=False, name=False, pref=None):
+    from ner_spark.semantics.resolve import Mention
+
+    m = Mention(start, end, frag, [])
+    m.senses = list(senses)
+    m.is_coreference = coref
+    m.is_name = name
+    m.preferred_sense = pref
+    return m
+
+
+def test_adjust_coreferences_repoints_pronoun():
+    from ner_spark.semantics.resolve import Register, adjust_coreferences
+
+    kb = _person_kb()
+    reg = Register()
+    filler = _mk(0, 4, "xxxx", [])          # index 0: NOT a person
+    prev = _mk(5, 16, "Alice Brown", [1], pref=1)
+    n = _mk(20, 31, "Carol Quinn", [-1], name=True)
+    he = _mk(35, 37, "He", [], coref=True, pref=1)  # points at prev's sense
+    nxt = _mk(40, 49, "Bob Stone", [2], pref=2)
+    ed = [filler, prev, n, he, nxt]
+    adjust_coreferences(ed, [n], kb, reg)
+    assert he.preferred_sense == -1  # re-pointed to the discovered name
+
+
+def test_adjust_coreferences_prev_at_index_zero_quirk():
+    """A person antecedent at list index 0 is falsy → treated as absent,
+    so the pronoun is re-pointed unconditionally (reference `if not i_prev`)."""
+    from ner_spark.semantics.resolve import Register, adjust_coreferences
+
+    kb = _person_kb()
+    reg = Register()
+    prev = _mk(0, 11, "Alice Brown", [1], pref=1)   # index 0!
+    n = _mk(20, 31, "Carol Quinn", [-1], name=True)
+    he = _mk(35, 37, "He", [], coref=True, pref=99)  # sense ≠ prev's
+    nxt = _mk(40, 49, "Bob Stone", [2], pref=2)
+    ed = [prev, n, he, nxt]
+    adjust_coreferences(ed, [n], kb, reg)
+    assert he.preferred_sense == -1
+
+
+def test_adjust_coreferences_no_next_person_breaks_all():
+    """`if i_next == None: break` aborts the remaining names too."""
+    from ner_spark.semantics.resolve import Register, adjust_coreferences
+
+    kb = _person_kb()
+    reg = Register()
+    filler = _mk(0, 4, "xxxx", [])
+    prev = _mk(5, 16, "Alice Brown", [1], pref=1)
+    n1 = _mk(20, 27, "No Next", [-1], name=True)   # nothing after it
+    he = _mk(30, 32, "He", [], coref=True, pref=1)
+    ed = [filler, prev, n1, he]
+    # second name listed AFTER n1 would qualify, but the break skips it
+    n2 = _mk(18, 19, "Z", [-2], name=True)
+    adjust_coreferences(ed, [n1, n2], kb, reg)
+    assert he.preferred_sense == 1  # untouched
+
+
+def test_adjust_coreferences_next_is_name_skips():
+    from ner_spark.semantics.resolve import Register, adjust_coreferences
+
+    kb = _person_kb()
+    reg = Register()
+    filler = _mk(0, 4, "xxxx", [])
+    prev = _mk(5, 16, "Alice Brown", [1], pref=1)
+    n = _mk(20, 31, "Carol Quinn", [-1], name=True)
+    he = _mk(35, 37, "He", [], coref=True, pref=1)
+    nxt = _mk(40, 49, "Dave Quinn", [-5], name=True)  # next person IS a name
+    ed = [filler, prev, n, he, nxt]
+    adjust_coreferences(ed, [n], kb, reg)
+    assert he.preferred_sense == 1  # untouched

@@ -33,3 +33,19 @@ def test_watermark_in_streaming_plan(spark, tmp_path):
     assert agg.isStreaming
     plan = agg._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_windowed_counts_value_col_optional(spark):
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 30), ("b", 90)], "k string, t long")
+    from ner_spark.streaming.windows import windowed_event_counts
+
+    out = windowed_event_counts(df, ts_col="t", key_col="k",
+                                window="1 minute")
+    assert "total_value" not in out.columns  # no 'value' column → count only
+    got = {(r.key, r.win_start.second // 60): r.n_events for r in out.collect()}
+    assert sum(got.values()) == 3
+
+    out2 = windowed_event_counts(df, ts_col="t", key_col="k",
+                                 window="1 minute", value_col=None)
+    assert "total_value" not in out2.columns
