@@ -25,9 +25,11 @@ def recognize(
     lowercase: bool = False,
     deaccent: bool = False,
     find_names: bool = False,
+    mode: str = "default",
     lang: LangModule = EN,
 ) -> list[dict]:
-    """Returns final mention rows (see resolve_document) for one document."""
+    """Returns final mention rows (see resolve_document) for one document.
+    ``mode``: default / all (``-a``) / score (``-s``)."""
     text = sanitize(raw_text)
     if deaccent:
         text = remove_accent_unicode(text)
@@ -36,7 +38,7 @@ def recognize(
     matches = automaton.scan(text)
     return resolve_document(
         text, [(m.ids, m.start, m.end, m.fragment) for m in matches], kb,
-        list_titles, find_names=find_names, lang=lang,
+        list_titles, find_names=find_names, mode=mode, lang=lang,
     )
 
 

@@ -823,6 +823,9 @@ def add_unknown_names(entities_and_dates: list, text: str,
         new_names.append(ne)
 
     for nne in new_names:
+        # quirk mirrored: when entities_and_dates is empty the reference's
+        # range(0) loop never runs and the name is silently dropped
+        # (ner.py:271-283); names only ever join a non-empty list
         for i in range(len(entities_and_dates)):
             if i == len(entities_and_dates) - 1:
                 entities_and_dates.append(nne)
@@ -834,8 +837,6 @@ def add_unknown_names(entities_and_dates: list, text: str,
             elif nne.start < entities_and_dates[0].start:
                 entities_and_dates.insert(0, nne)
                 break
-        else:
-            entities_and_dates.append(nne)
     return new_names
 
 
@@ -1032,5 +1033,13 @@ def resolve_document(
             if mode == "score":  # -s: carry candidates + scores (entity.py:369-377)
                 row["cands"] = list(e.candidates)
                 row["cand_scores"] = list(e.score)
+            elif not e.preferred_sense:  # has_preferred_sense() == False
+                # no preferred sense (incl. -a nulling): the reference
+                # prints the SORTED senses ';'-joined — partial-match
+                # senses for corefs, raw senses otherwise
+                # (entity.py:380-387); carried as score-less cands
+                row["cands"] = sorted(
+                    e.partial_match_senses if e.is_coreference else e.senses)
+                row["cand_scores"] = []
             out.append(row)
     return out

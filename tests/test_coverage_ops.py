@@ -167,14 +167,26 @@ def test_find_names_discovers_unknown_persons(spark, variant_rows):
 
     art = compile_kb(spark, variant_rows, add_pronouns=False,
                      add_subname_fragments=False)
-    # NB names at offset 0 are excluded by the proper-noun rule (ner.py:170)
-    text = "then Unknown Stranger met Zebulon Pike yesterday ."
+    # NB names at offset 0 are excluded by the proper-noun rule (ner.py:170);
+    # the date anchors the entity list — with an EMPTY entities_and_dates
+    # the reference's insert loop drops all names (ner.py:271-283, quirk)
+    text = "then Unknown Stranger met Zebulon Pike on 12. 1. 1995 ."
     out = recognize(art.bundle, art.automaton, text, find_names=True)
     names = [r for r in out if r["kind"] == "name"]
     assert {r["text"] for r in names} == {"Unknown Stranger", "Zebulon Pike"}
     assert all(r["sense"] < 0 for r in names)  # pseudo ids
-    # without the flag nothing is emitted
-    assert recognize(art.bundle, art.automaton, text) == []
+    # without the flag only the date remains
+    assert [r["kind"] for r in recognize(art.bundle, art.automaton, text)] \
+        == ["date"]
+
+
+def test_find_names_empty_entity_list_quirk(spark, variant_rows):
+    from ner_spark.kb.build import compile_kb
+
+    art = compile_kb(spark, variant_rows, add_pronouns=False,
+                     add_subname_fragments=False)
+    text = "then Unknown Stranger met Zebulon Pike yesterday ."
+    assert recognize(art.bundle, art.automaton, text, find_names=True) == []
 
 
 def test_find_names_possessive_strip(spark, variant_rows):
@@ -182,7 +194,8 @@ def test_find_names_possessive_strip(spark, variant_rows):
 
     art = compile_kb(spark, variant_rows, add_pronouns=False,
                      add_subname_fragments=False)
-    text = "we read Milton Friedman's essays ."
+    # date anchors the entity list (empty-list quirk, ner.py:271-283)
+    text = "we read Milton Friedman's essays on 12. 1. 1995 ."
     out = recognize(art.bundle, art.automaton, text, find_names=True)
     names = [r["text"] for r in out if r["kind"] == "name"]
     assert names == ["Milton Friedman"]
@@ -194,7 +207,7 @@ def test_find_names_absorbs_overlapped_entity(spark, variant_rows):
     art = compile_kb(spark, variant_rows, add_pronouns=False,
                      add_subname_fragments=False)
     # proper noun "Washington Irving House" contains KB entity "Washington"
-    text = "they toured Washington Irving House today ."
+    text = "they toured Washington Irving House on 12. 1. 1995 ."
     out = recognize(art.bundle, art.automaton, text, find_names=True)
     names = [r for r in out if r["kind"] == "name"]
     assert len(names) == 1

@@ -381,3 +381,68 @@ def test_adjust_coreferences_next_is_name_skips():
     ed = [filler, prev, n, he, nxt]
     adjust_coreferences(ed, [n], kb, reg)
     assert he.preferred_sense == 1  # untouched
+
+
+# ---------------------------------------------------------------------------
+# add_unknown_names merge matrix (ner.py:232-283 with entity.py:424-436
+# is_equal / is_overlapping semantics)
+# ---------------------------------------------------------------------------
+
+def _names_for(text, ed):
+    from ner_spark.semantics.resolve import add_unknown_names
+
+    return add_unknown_names(ed, text)
+
+
+def test_name_merge_equal_is_dropped():
+    text = "xx John Smith yy"
+    ent = _mk(3, 13, "John Smith", [7], pref=7)
+    ed = [ent]
+    new = _names_for(text, ed)
+    assert new == [] and ed == [ent]  # equal span+source → name discarded
+
+
+def test_name_merge_contained_by_entity_is_dropped():
+    # entity strictly contains the proper-noun candidate → substring case
+    text = "xx Big John Smith yy"
+    ent = _mk(3, 17, "Big John Smith", [7], pref=7)
+    ed = [ent]
+    new = _names_for(text, ed)
+    assert new == []
+
+
+def test_name_merge_containing_absorbs_senses_and_replaces():
+    # name candidate contains the entity → union senses, entity removed
+    text = "xx John Smith yy"
+    ent = _mk(3, 7, "John", [7, 9], pref=7)
+    other = _mk(20, 22, "zz", [1], pref=1)
+    ed = [ent, other]
+    new = _names_for(text, ed)
+    assert len(new) == 1
+    n = new[0]
+    assert n.source == "John Smith"
+    assert n.senses == [7, 9]        # absorbed, order preserved
+    assert ent not in ed and n in ed  # overlapped entity replaced
+
+
+def test_name_merge_disjoint_gets_pseudo_sense_and_shares_by_surface():
+    text = "John Smith met Mary Stone and John Smith left"
+    anchor = _mk(11, 14, "met", [5], pref=5)
+    ed = [anchor]
+    new = _names_for(text, ed)
+    by_src = {}
+    for n in new:
+        by_src.setdefault(n.source, []).append(n)
+    assert all(s < 0 for n in new for s in n.senses)
+    js = by_src.get("John Smith", [])
+    if len(js) == 2:  # same surface shares the pseudo sense set
+        assert js[0].senses == js[1].senses
+
+
+def test_name_merge_empty_entity_list_drops_names():
+    """Reference quirk: with an empty entities_and_dates the insert loop
+    never runs, so discovered names vanish (ner.py:271-283)."""
+    text = "xx John Smith yy"
+    ed = []
+    new = _names_for(text, ed)
+    assert ed == []  # nothing inserted
