@@ -305,7 +305,10 @@ def q_dedup_minhash(spark, sf_dir):  # rows-only (driver)
 
 
 def q_dedup_simhash(spark, sf_dir):  # rows-only (driver)
-    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=8)
+    """Radius 3 → 4×16-bit bands, the web-scale-sane configuration
+    (larger radii mean narrower bands and quadratically bigger buckets;
+    the generic radius-h banding is recall-tested in pytest at 3/5/8)."""
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def q_embed_knn(spark, sf_dir):

@@ -99,20 +99,39 @@ def ngram_jaccard_pairs(df: DataFrame, block_col: str, n: int = 3,
     return out.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
 
 
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+# per-worker shingle→FNV memo: web vocab is Zipf, so most shingles repeat
+# within a worker's lifetime; bounded to keep long-lived executors safe
+_FNV_CACHE: dict[str, int] = {}
+_FNV_CACHE_MAX = 1 << 20
+
+
+def _fnv1a(s: str) -> int:
+    h = _FNV_CACHE.get(s)
+    if h is None:
+        h = _FNV_OFFSET
+        for byt in s.encode():
+            h = ((h ^ byt) * _FNV_PRIME) & _MASK64
+        if len(_FNV_CACHE) < _FNV_CACHE_MAX:
+            _FNV_CACHE[s] = h
+    return h
+
+
 def _shingle_hashes(text: str, shingle: int) -> np.ndarray:
     toks = [t for t in text.split(" ") if t]
     if len(toks) < shingle:
         grams = [" ".join(toks)] if toks else [""]
+    elif shingle == 1:
+        grams = toks
     else:
         grams = [" ".join(toks[i:i + shingle]) for i in range(len(toks) - shingle + 1)]
-    # stable 64-bit FNV-1a per shingle (vectorized enough at batch level)
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        h = np.uint64(0xCBF29CE484222325)
-        for byt in g.encode():
-            h = np.uint64((int(h) ^ byt) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return np.unique(out)
+    # stable 64-bit FNV-1a per shingle, memoized per worker
+    fnv = _fnv1a
+    return np.unique(np.fromiter((fnv(g) for g in grams),
+                                 dtype=np.uint64, count=len(grams)))
 
 
 def minhash_signatures(df: DataFrame, num_hashes: int = 64, shingle: int = 3,
