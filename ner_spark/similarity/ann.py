@@ -51,8 +51,12 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def hyperplane_buckets(df: DataFrame, bits: int = 8, seed: int = 42,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       dim: int | None = None) -> DataFrame:
-    """(id, bucket int) — sign pattern against ``bits`` random hyperplanes."""
+                       dim: int | None = None,
+                       carry_vec: bool = False) -> DataFrame:
+    """(id, bucket int[, vec]) — sign pattern against ``bits`` random
+    hyperplanes.  ``carry_vec`` passes the vector through the same narrow
+    stage so downstream bucket joins need no extra join back to the
+    corpus (shuffle width grows by the vector, but two shuffles drop)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     H = np.random.RandomState(seed).normal(size=(bits, dim))
@@ -65,9 +69,16 @@ def hyperplane_buckets(df: DataFrame, bits: int = 8, seed: int = 42,
             mat = np.stack(pdf[vec_col].map(np.asarray).to_list())
             signs = (mat @ H.T) > 0
             buckets = (signs.astype(np.int64) * weights).sum(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col], "bucket": buckets})
+            out = {id_col: pdf[id_col], "bucket": buckets}
+            if carry_vec:
+                out["vec"] = pdf[vec_col].map(
+                    lambda v: np.asarray(v, dtype=np.float64).tolist())
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(fn, schema=f"{id_col} long, bucket int")
+    schema = f"{id_col} long, bucket int"
+    if carry_vec:
+        schema += ", vec array<double>"
+    return src.mapInPandas(fn, schema=schema)
 
 
 def embedding_near_dups(corpus: DataFrame, threshold: float = 0.9,
@@ -145,17 +156,18 @@ def lsh_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
                        vec_col: str = "embedding") -> DataFrame:
     """Scale path for near-dup detection: candidates share a hyperplane
     bucket (expected candidate count n²/2^bits), verified with the exact
-    cosine.  Subset of :func:`embedding_near_dups` with recall < 1."""
-    b = hyperplane_buckets(corpus, bits, seed, id_col, vec_col)
-    v = corpus.select(F.col(id_col).alias("_id"),
-                      F.col(vec_col).cast("array<double>").alias("_v"))
-    b1 = b.select(F.col(id_col).alias("id1"), "bucket")
-    b2 = b.select(F.col(id_col).alias("id2"), "bucket")
+    cosine.  Subset of :func:`embedding_near_dups` with recall < 1.
+    Vectors ride along the bucket rows, so the whole op is ONE shuffle
+    (the bucket self-join) — no join back to the corpus."""
+    b = hyperplane_buckets(corpus, bits, seed, id_col, vec_col,
+                           carry_vec=True)
+    b1 = b.select(F.col(id_col).alias("id1"), "bucket",
+                  F.col("vec").alias("v1"))
+    b2 = b.select(F.col(id_col).alias("id2"), "bucket",
+                  F.col("vec").alias("v2"))
     return (
         b1.join(b2, "bucket")
         .filter(F.col("id1") < F.col("id2"))
-        .join(v.withColumnRenamed("_id", "id1").withColumnRenamed("_v", "v1"), "id1")
-        .join(v.withColumnRenamed("_id", "id2").withColumnRenamed("_v", "v2"), "id2")
         .withColumn("cosine", F.round(_cosine(F.col("v1"), F.col("v2")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
