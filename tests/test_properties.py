@@ -72,3 +72,60 @@ def test_sanitize_idempotent_and_length_preserving(text):
     assert len(s) == len(text)
     assert sanitize(s) == s
     assert ";" not in s
+
+
+def _scan_via_tokenize(atm, text):
+    """Straightforward walk over tokenize() output — the pre-optimization
+    algorithm, kept as the semantic spec for the lazy-separator scan."""
+    from ner_spark.semantics.automaton import Match, tokenize
+
+    words = tokenize(text)
+    out = []
+    keys, prefixes, first = atm.keys, atm.prefixes, atm.first
+    nw = len(words)
+    i = 0
+    while i < nw:
+        w = words[i]
+        if w.text not in first:
+            i += 1
+            continue
+        path = w.text
+        j = i
+        best_j, best_ids = -1, None
+        while True:
+            ids = keys.get(path)
+            if ids is not None:
+                best_j, best_ids = j, ids
+            if path not in prefixes:
+                break
+            sep = words[j].sep
+            if sep is None or j + 1 >= nw:
+                break
+            j += 1
+            path = path + sep + words[j].text
+        if best_ids is not None:
+            s, e = w.start, words[best_j].end
+            out.append(Match(best_ids, s, e, text[s:e]))
+            i = best_j + 1
+        else:
+            i += 1
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=200))
+def test_optimized_scan_equals_tokenize_walk(text):
+    atm = GazetteerAutomaton.build([
+        ("ab", (1,)), ("ab cd", (2,)), ("cd", (3,)), ("x-y", (4,)),
+        ("http://a.b/c", (5,)), ("-", (6,)), ("a b c d", (7,)),
+    ])
+    assert atm.scan(text) == _scan_via_tokenize(atm, text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="ab -\n.x", min_size=1, max_size=12),
+                min_size=1, max_size=8),
+       st.text(alphabet="ab -\n.x", max_size=120))
+def test_optimized_scan_equals_walk_random_keys(keys, text):
+    atm = GazetteerAutomaton.build([(k, (i + 1,)) for i, k in enumerate(keys)])
+    assert atm.scan(text) == _scan_via_tokenize(atm, text)
