@@ -231,6 +231,18 @@ def q_kgc_triples(spark, sf_dir):
     return build_triples(mentions, art.kb_df)
 
 
+def q_kgc_sameas(spark, sf_dir):
+    """J10 end-to-end: KB redirect links → CC → (alias, sameAs, canonical)
+    triples, incl. chains, a cluster-joining multi-redirect and a dangling
+    redirect (fixture ner_spark/fixtures/redirects.py)."""
+    from ner_spark.fixtures.redirects import redirect_rows
+    from ner_spark.kb.build import kb_rows_to_df
+    from ner_spark.pipeline.triples import sameas_mapping, sameas_triples
+
+    kb_df = kb_rows_to_df(spark, redirect_rows())
+    return sameas_triples(sameas_mapping(kb_df))
+
+
 def q_kgc_connected_components(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     edges = d.select(
@@ -371,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgc_mention_kb_join": q_kgc_mention_kb_join,
         "kgc_comention_pairs": q_kgc_comention_pairs,
         "kgc_triples": q_kgc_triples,
+        "kgc_sameas": q_kgc_sameas,
         "kgc_connected_components": q_kgc_connected_components,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
@@ -424,6 +437,28 @@ def _kb_values() -> str:
         f"({r['id']}, '{r['type']}', '{r['description']}')"
         for r in dockb_rows())
     return f"(VALUES {vals}) AS kb(id, type, descr)"
+
+
+def _kgc_sameas_sql() -> str:
+    from ner_spark.fixtures.redirects import edges_values_sql
+
+    return f"""
+        WITH RECURSIVE
+          ef AS (SELECT DISTINCT src, dst FROM {edges_values_sql()}
+                 WHERE src <> dst),
+          sym AS (SELECT src, dst FROM ef UNION SELECT dst, src FROM ef),
+          nodes AS (SELECT DISTINCT src AS node FROM sym),
+          walk(node, comp) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node)
+        SELECT 'e:' || node AS subj, 'sameAs' AS pred,
+               'e:' || min(comp) AS obj
+        FROM walk GROUP BY node HAVING node <> min(comp)
+    """
+
+
+_KGC_SAMEAS_SQL = _kgc_sameas_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -574,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b USING (url) WHERE a.id < b.id
             GROUP BY a.id, b.id
         """,
+        "kgc_sameas": _KGC_SAMEAS_SQL,
         "kgc_connected_components": """
             WITH RECURSIVE
               e AS (SELECT (doc_id % 10) * 100 + doc_id % 7 AS src,

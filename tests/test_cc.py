@@ -50,3 +50,18 @@ def test_cc_random_graph(spark):
 
 def test_cc_self_loops_ignored(spark):
     _check(spark, [(5, 5), (1, 2), (2, 2)])
+
+
+def test_sameas_redirect_fixture(spark):
+    """J10 end-to-end on the redirect fixture: chains compress to the
+    minimum id, a multi-redirect joins clusters, dangling redirects
+    produce no edge/row."""
+    from ner_spark.fixtures.redirects import redirect_rows
+    from ner_spark.kb.build import kb_rows_to_df
+    from ner_spark.pipeline.triples import sameas_mapping, sameas_triples
+
+    kb_df = kb_rows_to_df(spark, redirect_rows())
+    got = {(r.subj, r.obj) for r in
+           sameas_triples(sameas_mapping(kb_df)).collect()}
+    assert got == {("e:2", "e:1"), ("e:3", "e:1"), ("e:4", "e:1"),
+                   ("e:5", "e:1"), ("e:7", "e:6")}
