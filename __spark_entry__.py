@@ -294,6 +294,52 @@ def q_revenue_rollup(spark, sf_dir):
     )
 
 
+def q_revenue_cube(spark, sf_dir):
+    """CUBE over (nation, mktsegment): all four grouping combinations."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .cube("n_name", "c_mktsegment")
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+              F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_common_part_sizes(spark, sf_dir):
+    """INTERSECT: sizes present in both ECONOMY and LARGE part types."""
+    p = _t(spark, sf_dir, "part")
+    a = p.filter(F.col("p_type") == "ECONOMY").select("p_size")
+    b = p.filter(F.col("p_type") == "LARGE").select("p_size")
+    return a.intersect(b)
+
+
+def q_event_sessions(spark, sf_dir):
+    """Sessionization: lag + conditional cumulative sum assigns session
+    ids per user (30-minute inactivity gap), then per-session stats —
+    the classic clickstream shape (two stacked window passes, one
+    shuffle on user_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; NTZ→TZ cast is exact under the UTC session and
+    # matches DuckDB's epoch() on the naive timestamp
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = (
+        ev.withColumn("new_sess",
+                      F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+          .withColumn("session_seq", F.sum("new_sess").over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
                                block_col="source", n=3, threshold=0.3)
@@ -392,6 +438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_frequency": q_word_frequency,
         "text_token_bpe": q_text_token_bpe,
         "revenue_rollup": q_revenue_rollup,
+        "revenue_cube": q_revenue_cube,
+        "common_part_sizes": q_common_part_sizes,
+        "event_sessions": q_event_sessions,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -701,6 +750,39 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP (n_name)
+        """,
+        "revenue_cube": """
+            SELECT n_name, c_mktsegment,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY CUBE (n_name, c_mktsegment)
+        """,
+        "common_part_sizes": """
+            SELECT p_size FROM part WHERE p_type = 'ECONOMY'
+            INTERSECT
+            SELECT p_size FROM part WHERE p_type = 'LARGE'
+        """,
+        "event_sessions": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NULL THEN 1
+                          WHEN epoch(ts) - lag(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800 THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s AS (
+              SELECT user_id, value,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM g)
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM s GROUP BY user_id, session_seq
         """,
         "dedup_ngram_jaccard": """
             WITH t AS (SELECT doc_id, source,
