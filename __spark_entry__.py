@@ -193,6 +193,13 @@ def q_windowed_event_counts(spark, sf_dir):
                                  key_col="event_type", window="1 day")
 
 
+def q_session_windows(spark, sf_dir):
+    """F.session_window batch form (the streaming session-agg's shape)."""
+    from ner_spark.streaming.windows import session_window_counts
+    return session_window_counts(_t(spark, sf_dir, "events"), ts_col="ts",
+                                 key_col="user_id", gap="30 minutes")
+
+
 def q_asof_join_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     left = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
@@ -425,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_count": q_salted_count,
         "asof_join_events": q_asof_join_events,
         "windowed_event_counts": q_windowed_event_counts,
+        "session_windows": q_session_windows,
         "kgc_mention_counts": q_kgc_mention_counts,
         "kgc_mention_kb_join": q_kgc_mention_kb_join,
         "kgc_comention_pairs": q_kgc_comention_pairs,
@@ -625,6 +633,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2, 3
+        """,
+        "session_windows": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NULL THEN 1
+                          WHEN epoch(ts) - lag(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800 THEN 1 ELSE 0 END AS new_sess
+              FROM events),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+            SELECT CAST(min(ts) AS TIMESTAMP) AS win_start,
+                   CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS win_end,
+                   user_id AS key, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM s GROUP BY user_id, sid
         """,
         "kgc_mention_counts": f"""
             SELECT tok AS surface, count(*) AS n_mentions

@@ -43,6 +43,36 @@ def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
     )
 
 
+def session_window_counts(events: DataFrame, ts_col: str = "ts",
+                          key_col: str = "user_id",
+                          gap: str = "30 minutes",
+                          watermark: str = "1 hour",
+                          value_col: str | None = "value") -> DataFrame:
+    """Per-key session windows (merge while consecutive events are at
+    most ``gap`` apart — an event landing exactly on the previous
+    window's end joins it; only gap > threshold starts a new session) →
+    (win_start, win_end, key, n_events[, total_value]).  In streaming the
+    watermark bounds open-session state; in batch it is a plain shuffle on
+    (key) + sort-merge of each key's events."""
+    ts = F.col(ts_col).cast("timestamp")
+    src = events.withColumn("_ts", ts)
+    if src.isStreaming:
+        src = src.withWatermark("_ts", watermark)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    sum_value = value_col is not None and value_col in events.columns
+    if sum_value:
+        aggs.append(F.round(F.sum(value_col), 2).alias("total_value"))
+    return (
+        src.groupBy(F.session_window(F.col("_ts"), gap).alias("win"),
+                    F.col(key_col).alias("key"))
+        .agg(*aggs)
+        .select(F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"),
+                "key", "n_events",
+                *(["total_value"] if sum_value else []))
+    )
+
+
 def run_windowed_counts(spark, input_path: str, checkpoint: str,
                         schema: str,
                         query_name: str = "windowed_counts",

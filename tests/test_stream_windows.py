@@ -49,3 +49,43 @@ def test_windowed_counts_value_col_optional(spark):
     out2 = windowed_event_counts(df, ts_col="t", key_col="k",
                                  window="1 minute", value_col=None)
     assert "total_value" not in out2.columns
+
+
+def test_session_windows_batch_semantics(spark):
+    """Spark merges while the gap is ≤ the threshold (an event landing
+    exactly on the previous window's end joins it); only gap > threshold
+    starts a new session.  Window end = last event + gap."""
+    from ner_spark.streaming.windows import session_window_counts
+
+    base = 1_700_000_000
+    rows = [
+        (1, "u1", float(base), 1.0),
+        (2, "u1", float(base + 100), 2.0),         # same session
+        (3, "u1", float(base + 100 + 1800), 4.0),  # exactly gap → MERGES
+        (4, "u1", float(base + 100 + 1800 + 1801), 16.0),  # > gap → new
+        (5, "u2", float(base), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, "
+                                     "ts double, value double")
+    out = {(r.key, r.win_start.timestamp(), r.win_end.timestamp()):
+           (r.n_events, r.total_value)
+           for r in session_window_counts(df, key_col="user_id",
+                                          gap="30 minutes").collect()}
+    t3 = base + 100 + 1800
+    assert out == {
+        ("u1", base, t3 + 1800): (3, 7.0),
+        ("u1", t3 + 1801, t3 + 1801 + 1800): (1, 16.0),
+        ("u2", base, base + 1800): (1, 8.0),
+    }
+
+
+def test_session_windows_streaming_plan(spark, tmp_path):
+    from ner_spark.streaming.windows import session_window_counts
+
+    schema = "event_id long, user_id string, ts double, value double"
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path))
+    agg = session_window_counts(stream, key_col="user_id")
+    assert agg.isStreaming
+    plan = agg._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
+    assert "session_window" in plan
