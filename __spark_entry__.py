@@ -250,6 +250,26 @@ def q_kgc_sameas(spark, sf_dir):
     return sameas_triples(sameas_mapping(kb_df))
 
 
+def q_kgc_entity_degree(spark, sf_dir):
+    """Degree centrality over the weighted co-mention graph."""
+    from ner_spark.pipeline.graph import degree_centrality
+    art = compile_dockb(spark)
+    mentions = extract_mentions(_docs_as_pages(spark, sf_dir), art)
+    return degree_centrality(comention_edges(mentions))
+
+
+def q_kgc_pagerank(spark, sf_dir):  # rows-only (iterative float fixpoint)
+    """PageRank over the co-mention graph (10 synchronous iterations,
+    d=0.85); verified against a numpy power iteration in tests/test_graph."""
+    from ner_spark.pipeline.graph import pagerank
+    art = compile_dockb(spark)
+    mentions = extract_mentions(_docs_as_pages(spark, sf_dir), art)
+    edges = comention_edges(mentions).select(
+        F.regexp_replace("subj", "^e:", "").cast("long").alias("src"),
+        F.regexp_replace("obj", "^e:", "").cast("long").alias("dst"))
+    return pagerank(edges, n_iter=10)
+
+
 def q_kgc_connected_components(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     edges = d.select(
@@ -437,6 +457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgc_mention_kb_join": q_kgc_mention_kb_join,
         "kgc_comention_pairs": q_kgc_comention_pairs,
         "kgc_triples": q_kgc_triples,
+        "kgc_entity_degree": q_kgc_entity_degree,
+        "kgc_pagerank": q_kgc_pagerank,
         "kgc_sameas": q_kgc_sameas,
         "kgc_connected_components": q_kgc_connected_components,
         "text_token_stats": q_text_token_stats,
@@ -687,6 +709,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'e:' || a.id, 'coMentionedWith', 'e:' || b.id, count(*)
             FROM d a JOIN d b USING (url) WHERE a.id < b.id
             GROUP BY a.id, b.id
+        """,
+        "kgc_entity_degree": f"""
+            WITH m AS ({_kgc_matches()}),
+                 d AS (SELECT DISTINCT url, id FROM m),
+                 e AS (SELECT 'e:' || a.id AS subj, 'e:' || b.id AS obj,
+                              count(*) AS weight
+                       FROM d a JOIN d b USING (url) WHERE a.id < b.id
+                       GROUP BY a.id, b.id),
+                 sym AS (SELECT subj AS node, weight FROM e
+                         UNION ALL SELECT obj, weight FROM e)
+            SELECT node, count(*) AS degree,
+                   sum(weight) AS weighted_degree
+            FROM sym GROUP BY node
         """,
         "kgc_sameas": _KGC_SAMEAS_SQL,
         "kgc_connected_components": """

@@ -1,0 +1,65 @@
+"""Graph analytics over the co-mention entity graph.
+
+Beyond the reference (which stops at emission): degree centrality and
+PageRank over the weighted undirected co-mention edges — the standard
+first asks of a constructed KG.  PageRank is the iterative-join shape
+(score join edges, aggregate contributions, damping update); at scale each
+round is one shuffle on entity id, and ``localCheckpoint`` truncates plan
+growth the same way the CC loop does (pipeline/cc.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_centrality(edges: DataFrame, src: str = "subj",
+                      dst: str = "obj",
+                      weight: str | None = "weight") -> DataFrame:
+    """(node, degree, weighted_degree) over undirected edges."""
+    w = F.col(weight) if weight else F.lit(1)
+    sym = edges.select(F.col(src).alias("node"), w.alias("w")).unionByName(
+        edges.select(F.col(dst).alias("node"), w.alias("w")))
+    return sym.groupBy("node").agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.sum("w").alias("weighted_degree"))
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             n_iter: int = 10, damping: float = 0.85,
+             undirected: bool = True) -> DataFrame:
+    """(node, rank) after ``n_iter`` synchronous power iterations with
+    uniform initialization 1/N and dangling-free graphs (undirected
+    symmetrization guarantees out-degree ≥ 1 for every node).
+
+    Deterministic — verified against a numpy power iteration in
+    tests/test_graph.py; the driver correctness check is rows-only (a
+    10-step float fixpoint is not expressible as one SQL query)."""
+    e = edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst")).filter("src <> dst")
+    if undirected:
+        e = e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    e = e.distinct().localCheckpoint()
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+             .join(out_deg, "src")
+             .select(F.col("dst").alias("node"),
+                     (F.col("rank") / F.col("out_deg")).alias("c"))
+             .groupBy("node").agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select("node",
+                    (F.lit((1.0 - damping) / n)
+                     + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0)))
+                    .alias("rank"))
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", 8).alias("rank"))

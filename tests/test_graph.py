@@ -1,0 +1,45 @@
+"""Graph analytics: degree vs hand count, PageRank vs numpy power
+iteration (same init, damping, synchronous update)."""
+
+import numpy as np
+
+
+EDGES = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 4)]
+
+
+def test_degree_centrality(spark):
+    from ner_spark.pipeline.graph import degree_centrality
+
+    df = spark.createDataFrame(
+        [(f"e:{a}", f"e:{b}", a + b) for a, b in EDGES],
+        "subj string, obj string, weight long")
+    got = {r.node: (r.degree, r.weighted_degree)
+           for r in degree_centrality(df).collect()}
+    assert got["e:3"] == (3, (2 + 3) + (3 + 1) + (3 + 4))
+    assert got["e:5"] == (1, 9)
+    assert sum(d for d, _ in got.values()) == 2 * len(EDGES)
+
+
+def test_pagerank_matches_numpy(spark):
+    from ner_spark.pipeline.graph import pagerank
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, n_iter=10).collect()}
+
+    # numpy oracle on the symmetrized graph
+    nodes = sorted({n for e in EDGES for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    sym = {(a, b) for a, b in EDGES} | {(b, a) for a, b in EDGES}
+    out_deg = np.zeros(n)
+    for a, _ in sym:
+        out_deg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        new = np.full(n, 0.15 / n)
+        for a, b in sym:
+            new[idx[b]] += 0.85 * r[idx[a]] / out_deg[idx[a]]
+        r = new
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-8, node
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # stochastic (no dangling)
