@@ -193,6 +193,24 @@ def q_windowed_event_counts(spark, sf_dir):
                                  key_col="event_type", window="1 day")
 
 
+def q_distinct_users_exact(spark, sf_dir):
+    """count(DISTINCT) per key — the exact baseline the HLL sketch query
+    is error-bounded against (tests/test_misc_ops.py)."""
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def q_distinct_users_hll(spark, sf_dir):  # rows-only (sketch; HLL++ ≠ DuckDB's)
+    """approx_count_distinct (HyperLogLog++, rsd=2%) — the sketch path for
+    cardinalities where exact distinct would shuffle every key."""
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                 .alias("n_users_approx")))
+
+
 def q_session_windows(spark, sf_dir):
     """F.session_window batch form (the streaming session-agg's shape)."""
     from ner_spark.streaming.windows import session_window_counts
@@ -432,6 +450,18 @@ def q_embed_lsh_near_dup(spark, sf_dir):  # rows-only (driver)
                               threshold=0.4, bits=4)
 
 
+def q_warc_source(spark, sf_dir):
+    """Common-Crawl-layout WARC ingest: binaryFile → gzip member split →
+    WARC/HTTP parse → response filter → extracted text (S-family source;
+    fixture ner_spark/fixtures/warcgen.py)."""
+    from ner_spark.fixtures.warcgen import ensure_warc_fixture
+    from ner_spark.io.warc import read_warc
+
+    path = ensure_warc_fixture()
+    return read_warc(spark, path).select(
+        "url", "text", F.length("text").alias("n_chars"))
+
+
 def q_multimodal_features(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("media"))
@@ -453,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "windowed_event_counts": q_windowed_event_counts,
         "session_windows": q_session_windows,
+        "distinct_users_exact": q_distinct_users_exact,
+        "distinct_users_hll": q_distinct_users_hll,
         "kgc_mention_counts": q_kgc_mention_counts,
         "kgc_mention_kb_join": q_kgc_mention_kb_join,
         "kgc_comention_pairs": q_kgc_comention_pairs,
@@ -482,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_full": q_embed_ivf_full,
         "embed_near_dup": q_embed_near_dup,
         "embed_lsh_near_dup": q_embed_lsh_near_dup,
+        "warc_source": q_warc_source,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -538,6 +571,16 @@ def _kgc_sameas_sql() -> str:
 
 
 _KGC_SAMEAS_SQL = _kgc_sameas_sql()
+
+
+def _warc_source_sql() -> str:
+    from ner_spark.fixtures.warcgen import expected_values_sql
+
+    return (f"SELECT url, text, length(text) AS n_chars "
+            f"FROM {expected_values_sql()}")
+
+
+_WARC_SOURCE_SQL = _warc_source_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -655,6 +698,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2, 3
+        """,
+        "distinct_users_exact": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "session_windows": """
             WITH g AS (
@@ -917,6 +965,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c a JOIN c b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         """,
+        "warc_source": _WARC_SOURCE_SQL,
         "multimodal_features": """
             SELECT doc_id AS id, length(text) AS n_bytes,
                    substr(sha256(text), 1, 16) AS sha_prefix

@@ -78,3 +78,17 @@ def test_dockb_matches_sql_contract(spark):
     assert {r.text for r in got} == {"spark", "vector", "stream", "window"}
     for r in got:
         assert r.sense == SURFACES.index(r.text) + 1
+
+
+def test_hll_sketch_error_bound(spark, sf_dir):
+    """approx_count_distinct at rsd=2% must land within 5% of the exact
+    per-key distinct count on the driver testdata."""
+    import __spark_entry__ as entrymod
+
+    exact = {r.event_type: r.n_users
+             for r in entrymod.q_distinct_users_exact(spark, sf_dir).collect()}
+    approx = {r.event_type: r.n_users_approx
+              for r in entrymod.q_distinct_users_hll(spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(0.05 * n, 2), (k, n, approx[k])
