@@ -390,6 +390,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
                                block_col="source", n=3, threshold=0.3)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark 4-gram decontamination: docs with doc_id % 97 == 0 act
+    as the held-out eval set; every other doc is flagged when it shares
+    any word 4-gram with them (broadcast semi-join, corpus not shuffled)."""
+    from ner_spark.textops.decontaminate import contamination_flags
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_flags(corpus, bench, n=4)
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -504,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_part_sizes": q_common_part_sizes,
         "event_sessions": q_event_sessions,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -911,6 +924,26 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                   / len(list_distinct(a.sh || b.sh)) >= 0.3
+        """,
+        "decontaminate": """
+            WITH sh AS (SELECT doc_id,
+                               list_distinct([array_to_string(toks[i:i+3], ' ')
+                                              FOR i IN range(1, greatest(len(toks)-3, 1)+1)]) AS s
+                        FROM (SELECT doc_id,
+                                     list_filter(string_split(text,' '), x -> x <> '') AS toks
+                              FROM documents)),
+                 bench AS (SELECT DISTINCT unnest(s) AS g FROM sh
+                           WHERE doc_id % 97 = 0),
+                 corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+                 hits AS (SELECT doc_id, count(*) AS n_hits
+                          FROM (SELECT doc_id, unnest(s) AS g FROM corpus) c
+                          JOIN bench USING (g) GROUP BY doc_id)
+            SELECT c.doc_id, len(c.s) AS n_shingles,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+                         / greatest(len(c.s), 1), 6) AS ratio,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM corpus c LEFT JOIN hits h USING (doc_id)
         """,
         "dedup_exact": """
             WITH h AS (SELECT doc_id, md5(text) AS digest FROM documents),

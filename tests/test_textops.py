@@ -190,3 +190,21 @@ def test_lsh_jaccard_plan_has_no_cross_product(docs_df):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_flags(spark):
+    from ner_spark.textops.decontaminate import contamination_flags
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], "doc_id long, text string")
+    corpus = spark.createDataFrame([
+        (1, "we saw the quick brown fox yesterday evening"),  # 4-gram hit
+        (2, "completely unrelated sentence with other words here"),
+        (3, "short text"),                                     # < n tokens
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           contamination_flags(corpus, bench, n=4).collect()}
+    assert got[1].contaminated and got[1].n_hits >= 1
+    assert not got[2].contaminated and got[2].n_hits == 0
+    assert not got[3].contaminated  # single under-length shingle, no hit
+    assert got[1].ratio > 0.0
