@@ -321,6 +321,35 @@ def q_word_frequency(spark, sf_dir):
     return word_frequency(wc)
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signal: fraction of all word trigrams taken
+    by the single most frequent trigram (high → boilerplate/spam)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+    g = (d.select("doc_id", F.explode(tri).alias("g"))
+          .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c")))
+    return (g.groupBy("doc_id")
+             .agg(F.sum("c").alias("n_trigrams"),
+                  F.max("c").alias("top_count"))
+             .withColumn("top_fraction",
+                         F.round(F.col("top_count") / F.col("n_trigrams"), 6)))
+
+
+def q_quality_filter(spark, sf_dir):
+    """Composed curation gate: token-count bounds + stopword floor +
+    alpha-ratio floor (Gopher-rule shape); emits kept docs with the
+    per-rule booleans so downstream can audit the drop reasons."""
+    q = quality_score(_t(spark, sf_dir, "documents"))
+    flags = (q.withColumn("len_ok", F.col("n_tokens").between(20, 100000))
+              .withColumn("stop_ok", F.col("stopword_ratio") >= 0.01)
+              .withColumn("alpha_ok", F.col("alpha_ratio") >= 0.6))
+    return (flags.filter("len_ok AND stop_ok AND alpha_ok")
+                 .select("doc_id", "n_tokens", "stopword_ratio", "alpha_ratio"))
+
+
 def q_text_token_bpe(spark, sf_dir):
     return token_counts_bpe(_t(spark, sf_dir, "documents"))
 
@@ -511,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "word_frequency": q_word_frequency,
         "text_token_bpe": q_text_token_bpe,
+        "text_repetition": q_text_repetition,
+        "quality_filter": q_quality_filter,
         "revenue_rollup": q_revenue_rollup,
         "revenue_cube": q_revenue_cube,
         "common_part_sizes": q_common_part_sizes,
@@ -869,6 +900,32 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT text FROM documents d WHERE d.doc_id = t.doc_id),
                        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS n_bpe_tokens
             FROM t
+        """,
+        "text_repetition": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split(text,' '), x -> x <> '') AS toks
+                       FROM documents),
+                 g AS (SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ')
+                                              FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS g
+                       FROM t),
+                 c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+            SELECT doc_id, sum(c) AS n_trigrams, max(c) AS top_count,
+                   round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_fraction
+            FROM c GROUP BY doc_id
+        """,
+        "quality_filter": f"""
+            WITH t AS (SELECT doc_id, text,
+                              list_filter(string_split(text,' '), x -> x <> '') AS toks
+                       FROM documents),
+                 q AS (SELECT doc_id, len(toks) AS n_tokens,
+                              round(CAST(len(list_filter(toks, x -> x IN ({_STOPWORDS_SQL}))) AS DOUBLE)
+                                    / greatest(len(toks), 1), 4) AS stopword_ratio,
+                              round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                                    / greatest(length(text), 1), 4) AS alpha_ratio
+                       FROM t)
+            SELECT doc_id, n_tokens, stopword_ratio, alpha_ratio FROM q
+            WHERE n_tokens BETWEEN 20 AND 100000
+              AND stopword_ratio >= 0.01 AND alpha_ratio >= 0.6
         """,
         "revenue_rollup": """
             SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
