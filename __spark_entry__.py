@@ -41,8 +41,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("url"), "text")
+    # the small test parquet arrives as 1-2 splits; spread the CPU-bound
+    # mention UDF across cores.  At real scale inputs have thousands of
+    # splits and this branch never fires (no shuffle of 100 TB of text).
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par // 2:
+        d = d.repartition(par)
+    return d
 
 
 # --------------------------------------------------------------------------

@@ -39,6 +39,11 @@ HEADLINE = [
     "embed_knn", "embed_lsh", "embed_ivf", "embed_ivf_full",
     "embed_near_dup", "embed_lsh_near_dup",
     "multimodal_features",
+    # round-2 additions
+    "kgc_sameas", "kgc_entity_degree", "kgc_pagerank",
+    "revenue_cube", "common_part_sizes", "event_sessions",
+    "session_windows", "distinct_users_exact", "distinct_users_hll",
+    "decontaminate", "text_repetition", "quality_filter", "warc_source",
 ]
 
 
