@@ -422,8 +422,12 @@ def q_event_sessions(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
-                               block_col="source", n=3, threshold=0.3)
+    """Exact 3-gram-shingle Jaccard pairs via banded MinHash candidates +
+    exact verify (the shingle-explode equi-join kernel stays as the
+    pytest-verified library path; candidate generation avoids computing
+    intersections for every co-shingle pair)."""
+    return lsh_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                             block_col="source", shingle=3, threshold=0.3)
 
 
 def q_decontaminate(spark, sf_dir):

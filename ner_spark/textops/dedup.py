@@ -203,15 +203,17 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 64, bands: int = 16,
 
 def lsh_jaccard_pairs(df: DataFrame, block_col: str | None = None,
                       threshold: float = 0.5, num_hashes: int = 128,
-                      bands: int = 64, seed: int = 42,
+                      bands: int = 64, shingle: int = 1, seed: int = 42,
                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Exact distinct-token Jaccard pairs, but with MinHash-LSH candidate
-    generation instead of an all-pairs cross product — the scale-correct
-    composition of :func:`minhash_lsh_pairs` (candidates) and
-    :func:`jaccard_pairs` (verify): candidates come from a banded-signature
-    equi-join, and the exact Jaccard is computed ONLY on candidates.
+    """Exact distinct-shingle Jaccard pairs (``shingle=1`` → token sets,
+    n>1 → word n-grams), with MinHash-LSH candidate generation instead of
+    an all-pairs cross product — the scale-correct composition of
+    :func:`minhash_lsh_pairs` (candidates) and :func:`jaccard_pairs` /
+    :func:`ngram_jaccard_pairs` (verify): candidates come from a
+    banded-signature equi-join, and the exact Jaccard is computed ONLY on
+    candidates.
 
-    Same output contract as :func:`jaccard_pairs` (id1 < id2, jaccard ≥
+    Same output contract as the exhaustive kernels (id1 < id2, jaccard ≥
     threshold, rounded 6), so the exhaustive SQL oracle applies verbatim.
     Recall: with ``rows_per_band = num_hashes/bands = 2``, a pair at true
     Jaccard s survives with p = 1 − (1 − s²)^bands; at the design point
@@ -219,13 +221,19 @@ def lsh_jaccard_pairs(df: DataFrame, block_col: str | None = None,
     ``block_col`` optionally scopes pairs to a blocking key (joined into
     the band key, so hot blocks still hash-partition across buckets)."""
     rows_per_band = num_hashes // bands
+    if shingle == 1:
+        feats = F.array_distinct(tokens_col(text_col))
+    else:
+        t = tokens_col(text_col)
+        feats = F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (shingle - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, shingle))))
     toks = df.select(
         F.col(id_col),
         *( [F.col(block_col).alias("block")] if block_col else [] ),
-        F.array_distinct(tokens_col(text_col)).alias("toks"))
-    # signatures over token sets (shingle=1) so the signature similarity
-    # estimates exactly the quantity the verify step thresholds on
-    sigs = minhash_signatures(df, num_hashes, shingle=1, seed=seed,
+        feats.alias("toks"))
+    # signatures over the same shingle features the verify step thresholds
+    sigs = minhash_signatures(df, num_hashes, shingle=shingle, seed=seed,
                               id_col=id_col, text_col=text_col)
     banded = sigs.select(
         id_col,

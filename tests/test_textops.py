@@ -208,3 +208,14 @@ def test_contamination_flags(spark):
     assert not got[2].contaminated and got[2].n_hits == 0
     assert not got[3].contaminated  # single under-length shingle, no hit
     assert got[1].ratio > 0.0
+
+
+def test_lsh_ngram_jaccard_equals_allpairs_kernel(docs_df):
+    from ner_spark.textops.dedup import lsh_jaccard_pairs, ngram_jaccard_pairs
+
+    want = {(r.id1, r.id2): r.jaccard for r in
+            ngram_jaccard_pairs(docs_df, "source", n=3, threshold=0.3).collect()}
+    got = {(r.id1, r.id2): r.jaccard for r in
+           lsh_jaccard_pairs(docs_df, block_col="source", shingle=3,
+                             threshold=0.3).collect()}
+    assert got == want and want  # non-empty on the near-dup fixture
