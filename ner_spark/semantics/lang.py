@@ -34,13 +34,14 @@ class LangModule:
 # -- EN (ner/lang_modules/en/entity.py:12-25, en/word_types.py) ------------
 
 def _en_sense_rules(m, kb, text) -> None:
-    from ner_spark.semantics.resolve import _left_context, _right_context
-
     # single pass; note "locations" in t implies "location" in t, so the
-    # reference's two-spellings test collapses to one substring check
-    rs = _right_context(text, m, "'s")
+    # reference's two-spellings test collapses to one substring check.
+    # context probes inlined (bounds-guarded slices ≡ _right/_left_context)
+    e = m.end
+    rs = text[e:e + 2] == "'s"
     the = m.source.startswith("The ")
-    ls = _left_context(text, m, " into ")
+    s0 = m.start
+    ls = s0 >= 6 and text[s0 - 6:s0] == " into "
     if not (rs or the or ls):
         return  # no rule can eliminate anything
     out = []

@@ -194,51 +194,51 @@ class Context:
         bounds = self.paragraphs + [2**62]
         ent_index = 0
         nat_index = 0
+        n_ed = len(entities_and_dates)
+        n_nat = len(nationalities)
+        get_type = kb.get_ent_type
+        get_data = kb.get_data_for
         for pi, par in enumerate(self.paragraphs):
-            self.mentions[par] = {}
-            self.people_nationalities[par] = []
-            self.people_dates[par] = []
-            self.people_professions[par] = []
+            buckets = self.mentions[par] = {}
+            par_nats = self.people_nationalities[par] = []
+            par_dates = self.people_dates[par] = []
+            par_profs = self.people_professions[par] = []
             nxt = bounds[pi + 1]
-            while nat_index < len(nationalities) and nationalities[nat_index].start < nxt:
+            while nat_index < n_nat and nationalities[nat_index].start < nxt:
                 name = nationalities[nat_index].source
-                if name not in self.people_nationalities[par]:
-                    self.people_nationalities[par].append(name)
+                if name not in par_nats:
+                    par_nats.append(name)
                 nat_index += 1
             par_text = None  # sliced lazily, once per paragraph
-            while ent_index < len(entities_and_dates) and entities_and_dates[ent_index].start < nxt:
+            while ent_index < n_ed and entities_and_dates[ent_index].start < nxt:
                 ent = entities_and_dates[ent_index]
                 if isinstance(ent, Mention):
                     ent.begin_of_paragraph = par
                     if not ent.poorly_disambiguated:
                         pref = ent.get_preferred_sense()
-                        t = kb.get_ent_type(pref)
-                        buckets = self.mentions[par]
+                        t = get_type(pref)
                         for ch in _uniq_chars(t):  # char quirk (context.py:109-111)
                             buckets.setdefault(ch, {})
                         last_ch = t[-1] if t else ""
-                        name = kb.get_data_for(pref, "NAME")
+                        name = get_data(pref, "NAME")
+                        bucket = buckets.setdefault(last_ch, {})
+                        bucket[name] = bucket.get(name, 0) + 1
                         if "geo" in t:
-                            bucket = buckets.setdefault(last_ch, {})
-                            bucket[name] = bucket.get(name, 0) + 1
-                            country = kb.get_data_for(pref, "COUNTRY")
+                            country = get_data(pref, "COUNTRY")
                             if country:
                                 bucket[country] = bucket.get(country, 0) + 1
                             # context.py:126 also bumps country_sum; it is
                             # never read (countries{} never populated) — no-op
-                        else:
-                            bucket = buckets.setdefault(last_ch, {})
-                            bucket[name] = bucket.get(name, 0) + 1
                     elif ent.has_preferred_sense():
                         if par_text is None:
                             par_text = text[par:nxt if nxt < 2**62 else len(text)]
                         for c in ent.candidates:
-                            if "person" in kb.get_ent_type(c):
+                            if "person" in get_type(c):
                                 for p in kb.get_multival(c, "ROLES"):
-                                    if par_text.find(p) != -1 and p not in self.people_professions[par]:
-                                        self.people_professions[par].append(p)
+                                    if par_text.find(p) != -1 and p not in par_profs:
+                                        par_profs.append(p)
                 elif isinstance(ent, DateMatch):
-                    self.people_dates[par].append(ent.iso.show_without_zeros())
+                    par_dates.append(ent.iso.show_without_zeros())
                 ent_index += 1
 
     # context.py:165-183 — forward-only walk (quirk, see module docstring)
@@ -415,8 +415,12 @@ def disambiguate_without_context(m: Mention, kb: KBBundle, text: str,
     # senses, so skip it entirely when no sense is person-typed (the
     # reference computes it unconditionally; results are identical).
     verb_index = -1
-    if any(kb.get_ent_type(s) in ("person", "person:artist", "person:fictional")
-           for s in m.senses):
+    has_person = False
+    for s in m.senses:
+        if kb.get_ent_type(s) in ("person", "person:artist", "person:fictional"):
+            has_person = True
+            break
+    if has_person:
         sentence = _right_sentence(text, m)
         for verb in lang.verbs:
             verb_index = sentence.find(verb)
