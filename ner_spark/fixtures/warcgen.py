@@ -68,8 +68,10 @@ def ensure_warc_fixture(path: str = WARC_FIXTURE_PATH) -> str:
     f = os.path.join(path, "fixture.warc.gz")
     blob = warc_blob()
     if not (os.path.exists(f) and os.path.getsize(f) == len(blob)):
-        with open(f, "wb") as fh:
+        tmp = f"{f}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as fh:
             fh.write(blob)
+        os.replace(tmp, f)  # atomic — concurrent harness runs can't race
     return path
 
 

@@ -42,7 +42,7 @@ from functools import lru_cache
 from typing import Sequence
 
 from .dates import DateMatch, find_dates
-from .kb import MULTIVAL, KBBundle
+from .kb import KBBundle
 from .lang import EN, LangModule
 from .textnorm import ncr2unicode, remove_accent_unicode
 
