@@ -70,7 +70,7 @@ def main() -> None:
     # min-of-k per query: the sandbox host is noisy (±2x drift, see
     # BASELINE.md); external load only ever adds time, so min is the
     # honest per-operator cost
-    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
