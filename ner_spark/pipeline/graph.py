@@ -26,22 +26,65 @@ def degree_centrality(edges: DataFrame, src: str = "subj",
         F.sum("w").alias("weighted_degree"))
 
 
+def _driver_pagerank(spark, pairs: list[tuple[int, int]], n_iter: int,
+                     damping: float) -> DataFrame:
+    """numpy power iteration — exact same result as the distributed loop,
+    for edge sets small enough to collect (mirrors the CC hybrid,
+    pipeline/cc.py: the entity graph is KB-sized next to the corpus and
+    the join loop's ~3·n_iter Spark stages dominate its runtime there)."""
+    import numpy as np
+
+    nodes = sorted({n for p in pairs for n in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame([], "node long, rank double")
+    out_deg = np.zeros(n)
+    for a, _ in pairs:
+        out_deg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    src_i = np.fromiter((idx[a] for a, _ in pairs), dtype=np.int64,
+                        count=len(pairs))
+    dst_i = np.fromiter((idx[b] for _, b in pairs), dtype=np.int64,
+                        count=len(pairs))
+    for _ in range(n_iter):
+        contrib = r[src_i] / out_deg[src_i]
+        new = np.full(n, (1.0 - damping) / n)
+        np.add.at(new, dst_i, damping * contrib)
+        r = new
+    return spark.createDataFrame(
+        [(int(nd), round(float(r[idx[nd]]), 8)) for nd in nodes],
+        "node long, rank double")
+
+
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              n_iter: int = 10, damping: float = 0.85,
-             undirected: bool = True) -> DataFrame:
+             undirected: bool = True,
+             driver_threshold: int = 200_000) -> DataFrame:
     """(node, rank) after ``n_iter`` synchronous power iterations with
     uniform initialization 1/N and dangling-free graphs (undirected
     symmetrization guarantees out-degree ≥ 1 for every node).
 
-    Deterministic — verified against a numpy power iteration in
-    tests/test_graph.py; the driver correctness check is rows-only (a
-    10-step float fixpoint is not expressible as one SQL query)."""
+    Hybrid like :func:`connected_components`: edge sets under
+    ``driver_threshold`` run a numpy power iteration on the driver (same
+    result, none of the per-round scheduling latency); larger graphs run
+    the distributed join loop.  Deterministic — verified against an
+    independent numpy oracle in tests/test_graph.py; the driver
+    correctness check is rows-only (a 10-step float fixpoint is not
+    expressible as one SQL query)."""
     e = edges.select(F.col(src).cast("long").alias("src"),
                      F.col(dst).cast("long").alias("dst")).filter("src <> dst")
     if undirected:
         e = e.unionByName(e.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
-    e = e.distinct().localCheckpoint()
+    e = e.distinct()
+    if driver_threshold:
+        head = e.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            return _driver_pagerank(edges.sparkSession,
+                                    [(r.src, r.dst) for r in head],
+                                    n_iter, damping)
+    e = e.localCheckpoint()
     nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
     n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))

@@ -43,3 +43,17 @@ def test_pagerank_matches_numpy(spark):
     for node in nodes:
         assert abs(got[node] - r[idx[node]]) < 1e-8, node
     assert abs(sum(got.values()) - 1.0) < 1e-6  # stochastic (no dangling)
+
+
+def test_pagerank_distributed_equals_driver(spark):
+    """The hybrid's two paths must agree exactly (same update, same
+    rounding) — run the loop with threshold 0 to force the join path."""
+    from ner_spark.pipeline.graph import pagerank
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    drv = {r.node: r.rank for r in pagerank(df, n_iter=6).collect()}
+    dist = {r.node: r.rank
+            for r in pagerank(df, n_iter=6, driver_threshold=0).collect()}
+    assert drv.keys() == dist.keys()
+    for k in drv:
+        assert abs(drv[k] - dist[k]) < 1e-8
