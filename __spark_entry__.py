@@ -21,7 +21,7 @@ from pyspark.sql import Window
 
 from ner_spark.fixtures.dockb import (SURFACES, compile_dockb, dockb_rows,
                                       surface_case_sql, surfaces_in_list_sql)
-from ner_spark.operators import asof_join, salted_count
+from ner_spark.operators import asof_join, interval_join, salted_count
 from ner_spark.pipeline.ner import extract_mentions, scan_mentions
 from ner_spark.pipeline.cc import connected_components
 from ner_spark.pipeline.triples import build_triples, comention_edges
@@ -216,6 +216,25 @@ def q_distinct_users_hll(spark, sf_dir):  # rows-only (sketch; HLL++ ≠ DuckDB'
             .groupBy("event_type")
             .agg(F.approx_count_distinct("user_id", rsd=0.02)
                  .alias("n_users_approx")))
+
+
+def q_order_window_shipments(spark, sf_dir):
+    """Range join (theta, no equi-key): per urgent order, how many
+    returned lineitems (of ANY order) shipped inside its 90-day window —
+    bucketized interval join (operators.interval_join), no cross product."""
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_orderkey",
+                 F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+                  .alias("s"))
+         .withColumn("e", F.col("s") + 90))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select(F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+                  .alias("d")))
+    return (interval_join(li, o, "d", "s", "e", bucket_width=90)
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_shipped")))
 
 
 def q_session_windows(spark, sf_dir):
@@ -535,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "windowed_event_counts": q_windowed_event_counts,
         "session_windows": q_session_windows,
+        "order_window_shipments": q_order_window_shipments,
         "distinct_users_exact": q_distinct_users_exact,
         "distinct_users_hll": q_distinct_users_hll,
         "kgc_mention_counts": q_kgc_mention_counts,
@@ -753,6 +773,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2, 3
+        """,
+        "order_window_shipments": """
+            SELECT o_orderkey, count(*) AS n_shipped
+            FROM orders JOIN lineitem
+              ON l_shipdate >= o_orderdate
+             AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+            WHERE o_orderpriority = '1-URGENT' AND l_returnflag = 'R'
+            GROUP BY o_orderkey
         """,
         "distinct_users_exact": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,

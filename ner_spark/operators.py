@@ -66,3 +66,33 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     for v in right_vals:
         u = u.withColumn(v, F.last(F.when(F.col("_side") == 0, F.col(v)), True).over(w))
     return u.filter(F.col("_side") == 1).select(*lcols, *right_vals)
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  point_col: str, start_col: str, end_col: str,
+                  bucket_width: int) -> DataFrame:
+    """Range/theta join ``start <= point < end`` WITHOUT a cross product:
+    both sides are bucketized on ``point // bucket_width`` (an interval
+    explodes into the few buckets it spans), the join is a plain hash
+    equi-join on the bucket id, and the range predicate remains only as a
+    residual filter within each bucket.
+
+    Pick ``bucket_width`` near the typical interval length: each interval
+    then lands in ~2 buckets, candidate pairs ≈ true pairs × O(1), and the
+    shuffle key space is |domain|/width — the composition Spark's optimizer
+    won't derive from a raw BETWEEN predicate (which plans as a
+    BroadcastNestedLoopJoin).  Columns must be integers (days, epoch
+    seconds, ...); all input columns are preserved."""
+    p = points.withColumn(
+        "_b", (F.col(point_col) / bucket_width).cast("long"))
+    iv = intervals.withColumn(
+        "_bs", (F.col(start_col) / bucket_width).cast("long")).withColumn(
+        "_be", ((F.col(end_col) - 1) / bucket_width).cast("long"))
+    iv = iv.withColumn("_b", F.explode(F.sequence("_bs", "_be"))) \
+           .drop("_bs", "_be")
+    return (
+        p.join(iv, "_b")
+        .filter((F.col(point_col) >= F.col(start_col))
+                & (F.col(point_col) < F.col(end_col)))
+        .drop("_b")
+    )

@@ -54,3 +54,29 @@ def test_asof_join_tie_right_before_left(spark):
     out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
                     right_vals=["val"]).collect()
     assert out[0].val == 7.0
+
+
+def test_interval_join_equals_theta(spark):
+    from ner_spark.operators import interval_join
+
+    pts = spark.createDataFrame([(i, i * 7 % 100) for i in range(60)],
+                                "pid long, d long")
+    ivs = spark.createDataFrame(
+        [(j, j * 13 % 90, j * 13 % 90 + 5 + j % 20) for j in range(25)],
+        "iid long, s long, e long")
+    got = {(r.pid, r.iid) for r in
+           interval_join(pts, ivs, "d", "s", "e", bucket_width=16).collect()}
+    want = {(p.pid, i.iid) for p in pts.collect() for i in ivs.collect()
+            if i.s <= p.d < i.e}
+    assert got == want and want
+
+
+def test_interval_join_plan_no_cartesian(spark):
+    from ner_spark.operators import interval_join
+
+    pts = spark.createDataFrame([(1, 5)], "pid long, d long")
+    ivs = spark.createDataFrame([(1, 0, 10)], "iid long, s long, e long")
+    plan = interval_join(pts, ivs, "d", "s", "e", 8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
