@@ -399,6 +399,49 @@ def q_revenue_rollup(spark, sf_dir):
     )
 
 
+def q_priority_pivot(spark, sf_dir):
+    """PIVOT: per-nation order counts spread across the 5 priority
+    classes (explicit value list → no extra distinct-scan job)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .groupBy("n_name")
+         .pivot("o_orderpriority", pri)
+         .agg(F.count(F.lit(1)))
+    )
+    renames = {p: f"p{p[0]}" for p in pri}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select("n_name",
+                      *[F.coalesce(F.col(v), F.lit(0)).alias(v)
+                        for v in renames.values()])
+
+
+def q_sql_udf_sanitize(spark, sf_dir):
+    """§2.10 SQL surface: the sanitize kernel registered as a pandas UDF
+    and invoked from spark.sql over a temp view (Arrow-batched, exact
+    reference character class ner.py:611)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ner_spark.semantics.textnorm import sanitize
+
+    # no type hints: the module's stringized annotations (future import)
+    # would defeat pyspark's hint inference for a locally-defined UDF
+    @pandas_udf("string")
+    def ner_sanitize(s):
+        return s.map(sanitize)
+
+    spark.udf.register("ner_sanitize", ner_sanitize)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_v")
+    return spark.sql(
+        "SELECT doc_id, ner_sanitize(concat(text, ';xy')) AS clean "
+        "FROM docs_v")
+
+
 def q_revenue_cube(spark, sf_dir):
     """CUBE over (nation, mktsegment): all four grouping combinations."""
     c = _t(spark, sf_dir, "customer")
@@ -579,6 +622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "quality_filter": q_quality_filter,
         "revenue_rollup": q_revenue_rollup,
+        "priority_pivot": q_priority_pivot,
+        "sql_udf_sanitize": q_sql_udf_sanitize,
         "revenue_cube": q_revenue_cube,
         "common_part_sizes": q_common_part_sizes,
         "event_sessions": q_event_sessions,
@@ -977,6 +1022,24 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP (n_name)
+        """,
+        "priority_pivot": """
+            SELECT n_name,
+                   sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1,
+                   sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2,
+                   sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3,
+                   sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4,
+                   sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "sql_udf_sanitize": """
+            SELECT doc_id,
+                   regexp_replace(text || ';x' || chr(1) || 'y',
+                                  '[;\\x01-\\x08\\x0e-\\x1f\\x0c\\x7f]',
+                                  ' ', 'g') AS clean
+            FROM documents
         """,
         "revenue_cube": """
             SELECT n_name, c_mktsegment,

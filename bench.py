@@ -44,7 +44,7 @@ HEADLINE = [
     "revenue_cube", "common_part_sizes", "event_sessions",
     "session_windows", "distinct_users_exact", "distinct_users_hll",
     "decontaminate", "text_repetition", "quality_filter", "warc_source",
-    "order_window_shipments",
+    "order_window_shipments", "priority_pivot", "sql_udf_sanitize",
 ]
 
 
