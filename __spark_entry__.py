@@ -200,6 +200,29 @@ def q_windowed_event_counts(spark, sf_dir):
                                  key_col="event_type", window="1 day")
 
 
+def q_event_props_json(spark, sf_dir):
+    """Semi-structured surface: JSON props column parsed JVM-side
+    (get_json_object), typed, filtered and aggregated."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.withColumn("k", k)
+              .filter(F.col("k").isNotNull())
+              .groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("k").alias("k_sum"),
+                   F.count(F.when(F.col("k") > 50, 1)).alias("n_high")))
+
+
+def q_event_value_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles (SQL `percentile`, not the sketch)
+    per event type — matches DuckDB's quantile_cont definition."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"))
+
+
 def q_distinct_users_exact(spark, sf_dir):
     """count(DISTINCT) per key — the exact baseline the HLL sketch query
     is error-bounded against (tests/test_misc_ops.py)."""
@@ -605,6 +628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_window_shipments": q_order_window_shipments,
         "distinct_users_exact": q_distinct_users_exact,
         "distinct_users_hll": q_distinct_users_hll,
+        "event_props_json": q_event_props_json,
+        "event_value_quantiles": q_event_value_quantiles,
         "kgc_mention_counts": q_kgc_mention_counts,
         "kgc_mention_kb_join": q_kgc_mention_kb_join,
         "kgc_comention_pairs": q_kgc_comention_pairs,
@@ -823,6 +848,22 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2, 3
+        """,
+        "event_props_json": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+                   count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                              THEN 1 END) AS n_high
+            FROM events
+            WHERE json_extract(props, '$.k') IS NOT NULL
+            GROUP BY event_type
+        """,
+        "event_value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
         """,
         "order_window_shipments": """
             SELECT o_orderkey, count(*) AS n_shipped

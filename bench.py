@@ -45,6 +45,7 @@ HEADLINE = [
     "session_windows", "distinct_users_exact", "distinct_users_hll",
     "decontaminate", "text_repetition", "quality_filter", "warc_source",
     "order_window_shipments", "priority_pivot", "sql_udf_sanitize",
+    "event_props_json", "event_value_quantiles",
 ]
 
 
