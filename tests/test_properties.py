@@ -129,3 +129,32 @@ def test_optimized_scan_equals_tokenize_walk(text):
 def test_optimized_scan_equals_walk_random_keys(keys, text):
     atm = GazetteerAutomaton.build([(k, (i + 1,)) for i, k in enumerate(keys)])
     assert atm.scan(text) == _scan_via_tokenize(atm, text)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=400))
+def test_resolve_document_never_raises_on_junk(text):
+    """100-TB web text contains every imaginable byte salad; the per-doc
+    kernel must process it without exceptions in every mode."""
+    from ner_spark.fixtures.dockb import dockb_rows
+    from ner_spark.semantics.kb import KBBundle, build_namelist
+    from ner_spark.semantics.recognize import (recognize,
+                                               render_reference_lines)
+
+    global _FUZZ_STATE
+    try:
+        bundle, atm = _FUZZ_STATE
+    except NameError:
+        rows = dockb_rows() + [
+            dict(id=9, type="person", name="Ada Lovelace", gender="F"),
+            dict(id=10, type="geographical", name="Prague", country="CZ"),
+        ]
+        bundle = KBBundle.from_rows(rows)
+        namelist = build_namelist(bundle)
+        atm = GazetteerAutomaton.build(namelist.items())
+        _FUZZ_STATE = (bundle, atm)
+
+    for mode in ("default", "all", "score"):
+        rows_out = recognize(bundle, atm, text, mode=mode)
+        render_reference_lines(rows_out)
+    recognize(bundle, atm, text, find_names=True)
