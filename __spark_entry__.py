@@ -461,7 +461,7 @@ def q_sql_udf_sanitize(spark, sf_dir):
     spark.udf.register("ner_sanitize", ner_sanitize)
     _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_v")
     return spark.sql(
-        "SELECT doc_id, ner_sanitize(concat(text, ';xy')) AS clean "
+        "SELECT doc_id, ner_sanitize(concat(text, ';x', chr(1), 'y')) AS clean "
         "FROM docs_v")
 
 

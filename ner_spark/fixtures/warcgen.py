@@ -67,7 +67,11 @@ def ensure_warc_fixture(path: str = WARC_FIXTURE_PATH) -> str:
     os.makedirs(path, exist_ok=True)
     f = os.path.join(path, "fixture.warc.gz")
     blob = warc_blob()
-    if not (os.path.exists(f) and os.path.getsize(f) == len(blob)):
+    fresh = False
+    if os.path.exists(f):
+        with open(f, "rb") as fh:  # content compare, not size — a stale
+            fresh = fh.read() == blob  # file must never shadow new fixtures
+    if not fresh:
         tmp = f"{f}.tmp.{os.getpid()}"
         with open(tmp, "wb") as fh:
             fh.write(blob)

@@ -85,8 +85,15 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                                     [(r.src, r.dst) for r in head],
                                     n_iter, damping)
     e = e.localCheckpoint()
-    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    # nodes from BOTH endpoints: with undirected=False a pure sink has no
+    # src row but must still receive rank (keeps the two hybrid paths
+    # identical); contributions land via the left join below
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
     n = nodes.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame([], "node long, rank double")
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):

@@ -306,9 +306,11 @@ class Context:
         if self.people_dates[par]:
             date_score = date_score * 100.0 / len(self.people_dates[par])
         prof_score = 0.0
-        # cached tuple; the raw split's [''] entry for an empty cell never
-        # matches a (non-empty) collected profession, so () is equivalent
-        for prof in self.kb.get_multival(candidate, "ROLES"):
+        # reference quirk preserved: the unguarded split yields [''] for an
+        # empty ROLES cell, and '' CAN appear in the collected professions
+        # (a malformed 'actor||' cell collects '' because find('') == 0) —
+        # so an empty-ROLES candidate must still probe with ''
+        for prof in self.kb.get_multival(candidate, "ROLES") or ("",):
             if prof in self.people_professions[par]:
                 prof_score += 1
         if self.people_professions[par]:

@@ -203,7 +203,8 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 64, bands: int = 16,
 
 def lsh_jaccard_pairs(df: DataFrame, block_col: str | None = None,
                       threshold: float = 0.5, num_hashes: int = 128,
-                      bands: int = 64, shingle: int = 1, seed: int = 42,
+                      bands: int | None = None, shingle: int = 1,
+                      seed: int = 42,
                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact distinct-shingle Jaccard pairs (``shingle=1`` → token sets,
     n>1 → word n-grams), with MinHash-LSH candidate generation instead of
@@ -215,11 +216,16 @@ def lsh_jaccard_pairs(df: DataFrame, block_col: str | None = None,
 
     Same output contract as the exhaustive kernels (id1 < id2, jaccard ≥
     threshold, rounded 6), so the exhaustive SQL oracle applies verbatim.
-    Recall: with ``rows_per_band = num_hashes/bands = 2``, a pair at true
-    Jaccard s survives with p = 1 − (1 − s²)^bands; at the design point
-    s ≥ 0.5, bands=64 → miss ≤ (3/4)^64 ≈ 1e-8 per qualifying pair.
+    Recall: a pair at true Jaccard s survives with
+    p = 1 − (1 − s^rows_per_band)^bands; ``bands=None`` auto-selects the
+    band shape for the threshold — 2-row bands at thresholds ≥ 0.5
+    (miss ≤ (3/4)^64 ≈ 1e-8 at s=0.5) but 1-row bands below (at s=0.3,
+    2-row bands would miss ~0.24% of boundary pairs; 1-row bands miss
+    (0.7)^128 ≈ 1e-20 at the cost of a looser candidate filter).
     ``block_col`` optionally scopes pairs to a blocking key (joined into
     the band key, so hot blocks still hash-partition across buckets)."""
+    if bands is None:
+        bands = num_hashes // 2 if threshold >= 0.5 else num_hashes
     rows_per_band = num_hashes // bands
     if shingle == 1:
         feats = F.array_distinct(tokens_col(text_col))
@@ -321,13 +327,17 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
     Scale note: larger radii mean narrower bands (64/(h+1) bits) and
     therefore bigger buckets — at web scale keep the radius small (≤3 →
     16-bit bands) or pre-block on a coarse key before banding."""
+    def band_col(off: int, w: int):
+        col = F.shiftrightunsigned("simhash", off)
+        if w < 64:  # w == 64 (radius 0, single band) would overflow the
+            col = col.bitwiseAND(F.lit((1 << w) - 1))  # Long mask literal
+        return col
+
     sigs = simhash_signatures(df, id_col, text_col)
     chunks = sigs.select(
         id_col, "simhash",
         F.explode(F.array(*[
-            F.struct(F.lit(c).alias("chunk"),
-                     F.shiftrightunsigned("simhash", off)
-                      .bitwiseAND(F.lit((1 << w) - 1)).alias("ck"))
+            F.struct(F.lit(c).alias("chunk"), band_col(off, w).alias("ck"))
             for c, (off, w) in enumerate(simhash_band_bounds(max_hamming))
         ])).alias("cc"),
     ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.ck").alias("ck"))

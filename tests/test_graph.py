@@ -57,3 +57,20 @@ def test_pagerank_distributed_equals_driver(spark):
     assert drv.keys() == dist.keys()
     for k in drv:
         assert abs(drv[k] - dist[k]) < 1e-8
+
+
+def test_pagerank_directed_sink_nodes_both_paths(spark):
+    """Directed graphs: sinks must receive rank rows on BOTH hybrid
+    paths; empty edge sets yield an empty frame, not a crash."""
+    from ner_spark.pipeline.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    for thr in (200_000, 0):
+        got = {r.node: r.rank
+               for r in pagerank(df, n_iter=3, undirected=False,
+                                 driver_threshold=thr).collect()}
+        assert set(got) == {1, 2}, thr
+        assert got[2] > got[1]  # the sink accumulates rank
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty, undirected=False, driver_threshold=0).count() == 0
+    assert pagerank(empty).count() == 0

@@ -219,3 +219,17 @@ def test_lsh_ngram_jaccard_equals_allpairs_kernel(docs_df):
            lsh_jaccard_pairs(docs_df, block_col="source", shingle=3,
                              threshold=0.3).collect()}
     assert got == want and want  # non-empty on the near-dup fixture
+
+
+def test_simhash_radius_zero(spark):
+    """Radius 0 = exact-duplicate grouping: one 64-bit band (the mask-free
+    path); only identical signatures pair up."""
+    from ner_spark.textops.dedup import simhash_near_dups
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat sat on the mat"),
+         (3, "entirely different words here")],
+        "doc_id long, text string")
+    got = {(r.id1, r.id2): r.hamming
+           for r in simhash_near_dups(df, max_hamming=0).collect()}
+    assert got == {(1, 2): 0}
