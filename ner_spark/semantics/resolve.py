@@ -586,15 +586,19 @@ def fix_poor_disambiguation(entities: list[Mention], kb: KBBundle,
 
 def resolve_coreferences(entities: list[Mention], kb: KBBundle, ctx: Context,
                          register: Register, text: str,
-                         lang: LangModule = EN) -> None:
-    """ner.py:333-375 (default mode, print_all=False)."""
+                         lang: LangModule = EN,
+                         print_all: bool = False) -> None:
+    """ner.py:333-375.  ``print_all`` (-a) skips the whole resolution body
+    — partial-match senses stay unfiltered and corefs stay unresolved
+    (ner.py:350 ``if not print_all``); the people_in_text fill and the
+    ``ctx.update`` register pass still run in every mode."""
     for e in entities:
         if not e.is_coreference and e.has_preferred_sense():
             pref = e.get_preferred_sense()
             if "person" in kb.get_ent_type(pref):
                 ctx.people_in_text.add(pref)
     for e in entities:
-        if e.is_coreference:
+        if e.is_coreference and not print_all:
             e.partial_match_senses = frozenset(
                 s for s in e.partial_match_senses if s in ctx.people_in_text)
             if e.partial_match_senses:
@@ -980,8 +984,11 @@ def resolve_document(
     name_corefs = [e for e in entities
                    if e.source_lower not in lang.pronouns
                    and not e.source_lower.startswith("the ")]
-    resolve_coreferences(name_corefs, kb, ctx, register, text, lang)
-    resolve_coreferences(entities, kb, ctx, register, text, lang)
+    print_all = mode == "all"
+    resolve_coreferences(name_corefs, kb, ctx, register, text, lang,
+                         print_all=print_all)
+    resolve_coreferences(entities, kb, ctx, register, text, lang,
+                         print_all=print_all)
 
     entities = resolve_overlapping_proper_nouns(entities, text, list_titles,
                                                 lang)
