@@ -43,12 +43,11 @@ def main(argv: list[str] | None = None) -> int:
         from ner_spark.semantics.lang import get_lang
         from ner_spark.semantics.recognize import render_reference_lines
         from ner_spark.semantics.resolve import resolve_document
-        from ner_spark.semantics.textnorm import (remove_accent_unicode,
-                                                  sanitize)
+        from ner_spark.semantics.textnorm import remove_accent, sanitize
 
         t = sanitize(text)
         if args.remove_accent:
-            t = remove_accent_unicode(t)
+            t = remove_accent(t)  # plain removal, ner.py:614
         if args.lowercase:
             t = t.lower()
         matches = rec.automaton.scan(t)

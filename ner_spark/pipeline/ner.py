@@ -89,7 +89,7 @@ def extract_mentions(pages: DataFrame, artifacts: KBArtifacts,
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ner_spark.semantics.lang import get_lang
         from ner_spark.semantics.resolve import resolve_document
-        from ner_spark.semantics.textnorm import remove_accent_unicode
+        from ner_spark.semantics.textnorm import remove_accent
 
         lang_mod = get_lang(lang)
         bundle = bundle_bc.value
@@ -100,7 +100,10 @@ def extract_mentions(pages: DataFrame, artifacts: KBArtifacts,
             rows = []
             for url, text in zip(pdf["url"], pdf["text"]):
                 if deaccent:
-                    text = remove_accent_unicode(text)
+                    # -r uses the plain (possibly length-changing)
+                    # removal (ner.py:614) — offsets refer to the
+                    # transformed text, as in the reference
+                    text = remove_accent(text)
                 if lowercase:
                     text = text.lower()
                 matches = [(m.ids, m.start, m.end, m.fragment)

@@ -14,7 +14,7 @@ from .automaton import GazetteerAutomaton
 from .kb import KBBundle
 from .lang import EN, LangModule
 from .resolve import resolve_document
-from .textnorm import remove_accent_unicode, sanitize
+from .textnorm import remove_accent, sanitize
 
 
 def recognize(
@@ -32,7 +32,7 @@ def recognize(
     ``mode``: default / all (``-a``) / score (``-s``)."""
     text = sanitize(raw_text)
     if deaccent:
-        text = remove_accent_unicode(text)
+        text = remove_accent(text)  # plain removal, ner.py:614
     if lowercase:
         text = text.lower()
     matches = automaton.scan(text)
