@@ -48,9 +48,8 @@ def main(argv: list[str] | None = None) -> int:
         t = sanitize(text)
         if args.remove_accent:
             t = remove_accent(t)  # plain removal, ner.py:614
-        if args.lowercase:
-            t = t.lower()
-        matches = rec.automaton.scan(t)
+        scan_t = t.lower() if args.lowercase else t  # ner.py:473-476
+        matches = rec.automaton.scan(scan_t)
         rows = resolve_document(
             t, [(m.ids, m.start, m.end, m.fragment) for m in matches],
             rec.bundle, find_names=find_names, mode=doc_mode,

@@ -65,7 +65,8 @@ class LocalRecognizer:
 
         rows = recognize(self.bundle, self.automaton, text,
                          lowercase=self.lowercase, deaccent=self.deaccent,
-                         find_names=find_names, lang=get_lang(self.lang))
+                         find_names=find_names, mode=mode,
+                         lang=get_lang(self.lang))
         return rows
 
     def recognize_lines(self, text: str, **kw) -> list[str]:

@@ -78,10 +78,14 @@ def extract_mentions(pages: DataFrame, artifacts: KBArtifacts,
     """pages → final mention rows (scan + stages b-k fused, zero-shuffle).
 
     ``lowercase``/``deaccent`` mirror the reference's ``-d``/``-r`` modes
-    (ner.py:611-615: transform applied to the input after sanitization;
-    offsets refer to the transformed text) and must match the automaton
-    variant compiled with the same flags.  ``find_names`` enables unknown-
-    name discovery (``-n``, ner.py:696-697)."""
+    and must match the automaton variant compiled with the same flags:
+    ``deaccent`` TRANSFORMS the working text (ner.py:614, plain removal —
+    offsets refer to the deaccented text), while ``lowercase`` only lowers
+    the SCAN input (ner.py:473-476: figa reads input_string.lower() but
+    the Entity keeps the original string, so resolution context slices
+    and the printed text stay original-case; mention sources come from
+    the lowered scan).  ``find_names`` enables unknown-name discovery
+    (``-n``, ner.py:696-697)."""
     src = sanitized_pages(pages, url_col, text_col)
     bundle_bc = artifacts.bundle_bc
     atm_bc = artifacts.automaton_bc
@@ -104,10 +108,9 @@ def extract_mentions(pages: DataFrame, artifacts: KBArtifacts,
                     # removal (ner.py:614) — offsets refer to the
                     # transformed text, as in the reference
                     text = remove_accent(text)
-                if lowercase:
-                    text = text.lower()
+                scan_text = text.lower() if lowercase else text
                 matches = [(m.ids, m.start, m.end, m.fragment)
-                           for m in atm.scan(text)]
+                           for m in atm.scan(scan_text)]
                 for r in resolve_document(text, matches, bundle,
                                           find_names=find_names,
                                           lang=lang_mod):

@@ -33,9 +33,10 @@ def recognize(
     text = sanitize(raw_text)
     if deaccent:
         text = remove_accent(text)  # plain removal, ner.py:614
-    if lowercase:
-        text = text.lower()
-    matches = automaton.scan(text)
+    # -d lowers only the SCAN input (ner.py:473-476); resolution and
+    # output keep the original-case string
+    scan_text = text.lower() if lowercase else text
+    matches = automaton.scan(scan_text)
     return resolve_document(
         text, [(m.ids, m.start, m.end, m.fragment) for m in matches], kb,
         list_titles, find_names=find_names, mode=mode, lang=lang,

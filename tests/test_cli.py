@@ -82,7 +82,9 @@ def test_cli_file_and_lowercase(kb_tsv, tmp_path):
     assert out.strip() == ""
     # -l: lowercase automaton + lowercased input
     out = _run_cli(["-f", str(doc), "-l"], "", kb_tsv)
-    assert "marie curie\t2" in out
+    # the printed text column keeps the ORIGINAL case (the lowered copy is
+    # scan-only, ner.py:473-476)
+    assert "MARIE CURIE\t2" in out
 
 
 def test_cli_score_mode(kb_tsv):

@@ -90,7 +90,10 @@ def test_lowercase_variant(spark, variant_rows):
                      add_pronouns=False, add_subname_fragments=False)
     out = recognize(art.bundle, art.automaton,
                     "we saw WASHINGTON yesterday .", lowercase=True)
-    assert [(r["text"], r["sense"]) for r in out] == [("washington", 2)]
+    # scan happens on the lowered copy, but the printed text is the
+    # ORIGINAL-case slice (ner.py:473-476: figa reads .lower(), the Entity
+    # keeps input_string)
+    assert [(r["text"], r["sense"]) for r in out] == [("WASHINGTON", 2)]
 
 
 def test_deaccent_variant(spark, variant_rows):
