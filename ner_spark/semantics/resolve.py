@@ -239,6 +239,9 @@ class Context:
                                         par_profs.append(p)
                 elif isinstance(ent, DateMatch):
                     par_dates.append(ent.iso.show_without_zeros())
+                    if ent.iso_to is not None:  # unsplit INTERVAL: both
+                        par_dates.append(ent.iso_to.show_without_zeros())
+                        # ends join the paragraph dates (context.py:156-158)
                 ent_index += 1
 
     # context.py:165-183 — forward-only walk (quirk, see module docstring)
