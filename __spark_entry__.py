@@ -567,6 +567,14 @@ def q_embed_lsh(spark, sf_dir):  # rows-only (driver)
     return lsh_topk(emb, emb.filter("vec_id < 8"), k=5, bits=4)
 
 
+def q_embed_lsh_full(spark, sf_dir):
+    """Hyperplane LSH at bits=0 — one bucket, so the bucketed plumbing
+    degenerates to exact brute force and the embed_knn oracle applies
+    verbatim (the LSH analogue of embed_ivf_full)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter("vec_id < 8"), k=5, bits=0)
+
+
 def q_embed_ivf(spark, sf_dir):  # rows-only (driver): nprobe < n_centroids
     from ner_spark.similarity.ivf import ivf_topk
     emb = _t(spark, sf_dir, "embeddings")
@@ -660,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "embed_knn": q_embed_knn,
         "embed_lsh": q_embed_lsh,
+        "embed_lsh_full": q_embed_lsh_full,
         "embed_ivf": q_embed_ivf,
         "embed_ivf_full": q_embed_ivf_full,
         "embed_near_dup": q_embed_near_dup,
@@ -1170,6 +1179,19 @@ def oracle_sql() -> dict[str, str]:
                   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
         """,
         "embed_knn": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 8),
+                 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+                 s AS (SELECT query_id, neighbor_id,
+                              round(list_cosine_similarity(
+                                CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])), 6) AS cosine
+                       FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM s) WHERE rank <= 5
+        """,
+        "embed_lsh_full": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 8),
                  c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

@@ -36,7 +36,7 @@ HEADLINE = [
     "text_token_bpe", "word_frequency",
     "dedup_exact", "dedup_jaccard", "dedup_ngram_jaccard",
     "dedup_minhash", "dedup_simhash",
-    "embed_knn", "embed_lsh", "embed_ivf", "embed_ivf_full",
+    "embed_knn", "embed_lsh", "embed_lsh_full", "embed_ivf", "embed_ivf_full",
     "embed_near_dup", "embed_lsh_near_dup",
     "multimodal_features",
     # round-2 additions
