@@ -72,6 +72,11 @@ _SURNAME_RE = re.compile(  # KB2namelist.py:78-80 (\p{Lu}\p{Ll} → ASCII-ish + 
     r"((?:[A-ZÀ-Þ][a-zß-ÿ]*(?:#[^- ]+)?-)?"
     r"(?:[A-ZÀ-Þ][a-zß-ÿ]+(?:#[^- ]+)?))$)"
 )
+# surname-index guard (namelist.re_unwanted_match, namelist.py:118-124 +
+# EN tables: saint variants Saint/Holy, lang unwanted from/Prince): names
+# containing a comma, a digit, or one of these standalone words get no
+# surname key (KB2namelist.py:875-877)
+_UNWANTED_MATCH_RE = re.compile(r"(,|[0-9]|(^|\s)(Saint|Holy|from|Prince)(\s|$))")
 _NTYPE_RE = re.compile(r"#ntype=([^#|]*)")
 _FLAG_STRIP_RE = re.compile(r"#(?:ntype|lang)=[^#|]*")
 
@@ -356,6 +361,7 @@ def collect_nationality_forms(kb: KBBundle) -> set[str]:
 # ---------------------------------------------------------------------------
 
 _UNSUITABLE_CHARS = ';?!()[]{}<>/~@#$%^&*_=+|"\\'
+_PERSON_UNWANTED_STARTS = ("List of ",)  # en/namelist.py:14
 
 
 def is_unsuitable_key(key: str, type_str: str) -> bool:
@@ -371,6 +377,12 @@ def is_unsuitable_key(key: str, type_str: str) -> bool:
                 return True
         elif "geographical" in type_str:
             return True
+    if "person" in type_str:
+        # language-specific unwanted starts (namelist.py:990-994; EN list
+        # lang_modules/en/namelist.py:14 — cs/sk would add "Seznam "/"Zoznam ")
+        for unwanted in _PERSON_UNWANTED_STARTS:
+            if key.startswith(unwanted):
+                return True
     if re.match(r"^[a-zß-ÿ]", key):
         if "event" in type_str or "geographical" in type_str:
             if " " not in key:
@@ -481,7 +493,7 @@ def build_namelist(
             conf = kb.get_score(i)
             if conf >= threshold:
                 m = _SURNAME_RE.search(name)
-                if m:
+                if m and not _UNWANTED_MATCH_RE.search(name):
                     surname = m.group(0)
                     if surname != name:
                         add(surname, i, t)

