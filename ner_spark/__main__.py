@@ -40,21 +40,11 @@ def main(argv: list[str] | None = None) -> int:
     mode = "all" if args.print_all else ("score" if args.score else "default")
 
     def emit(text: str, doc_mode: str = mode, find_names: bool = args.names):
-        from ner_spark.semantics.lang import get_lang
-        from ner_spark.semantics.recognize import render_reference_lines
-        from ner_spark.semantics.resolve import resolve_document
-        from ner_spark.semantics.textnorm import remove_accent, sanitize
-
-        t = sanitize(text)
-        if args.remove_accent:
-            t = remove_accent(t)  # plain removal, ner.py:614
-        scan_t = t.lower() if args.lowercase else t  # ner.py:473-476
-        matches = rec.automaton.scan(scan_t)
-        rows = resolve_document(
-            t, [(m.ids, m.start, m.end, m.fragment) for m in matches],
-            rec.bundle, find_names=find_names, mode=doc_mode,
-            lang=get_lang(args.lang))
-        for line in render_reference_lines(rows):
+        # one shared path: LocalRecognizer.recognize applies the same
+        # sanitize → -r plain deaccent → scan-only -d lower pipeline
+        # (recognize.py), so the CLI cannot diverge from the library
+        for line in rec.recognize_lines(text, mode=doc_mode,
+                                        find_names=find_names):
             print(line)
 
     if args.daemon:

@@ -84,8 +84,12 @@ def extract_mentions(pages: DataFrame, artifacts: KBArtifacts,
     the SCAN input (ner.py:473-476: figa reads input_string.lower() but
     the Entity keeps the original string, so resolution context slices
     and the printed text stay original-case; mention sources come from
-    the lowered scan).  ``find_names`` enables unknown-name discovery
-    (``-n``, ner.py:696-697)."""
+    the lowered scan).  NB ``str.lower()`` can change length for rare
+    code points (e.g. U+0130 İ → 2 chars), shifting scan offsets against
+    the original text — the reference applies lowered-scan offsets to the
+    original string with exactly the same caveat (bug-for-bug parity).
+    ``find_names`` enables unknown-name discovery (``-n``,
+    ner.py:696-697)."""
     src = sanitized_pages(pages, url_col, text_col)
     bundle_bc = artifacts.bundle_bc
     atm_bc = artifacts.automaton_bc

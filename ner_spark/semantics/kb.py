@@ -72,11 +72,12 @@ _SURNAME_RE = re.compile(  # KB2namelist.py:78-80 (\p{Lu}\p{Ll} → ASCII-ish + 
     r"((?:[A-ZÀ-Þ][a-zß-ÿ]*(?:#[^- ]+)?-)?"
     r"(?:[A-ZÀ-Þ][a-zß-ÿ]+(?:#[^- ]+)?))$)"
 )
-# surname-index guard (namelist.re_unwanted_match, namelist.py:118-124 +
-# EN tables: saint variants Saint/Holy, lang unwanted from/Prince): names
-# containing a comma, a digit, or one of these standalone words get no
-# surname key (KB2namelist.py:875-877)
-_UNWANTED_MATCH_RE = re.compile(r"(,|[0-9]|(^|\s)(Saint|Holy|from|Prince)(\s|$))")
+def _unwanted_match_re(words: frozenset) -> "re.Pattern":
+    """Surname-index guard (namelist.re_unwanted_match, namelist.py:118-124):
+    names containing a comma, a digit, or one of the language's standalone
+    saint/unwanted words get no surname key (KB2namelist.py:875-877)."""
+    alts = "|".join(re.escape(w) for w in sorted(words)) or "(?!x)x"
+    return re.compile(r"(,|[0-9]|(^|\s)(%s)(\s|$))" % alts)
 _NTYPE_RE = re.compile(r"#ntype=([^#|]*)")
 _FLAG_STRIP_RE = re.compile(r"#(?:ntype|lang)=[^#|]*")
 
@@ -361,11 +362,13 @@ def collect_nationality_forms(kb: KBBundle) -> set[str]:
 # ---------------------------------------------------------------------------
 
 _UNSUITABLE_CHARS = ';?!()[]{}<>/~@#$%^&*_=+|"\\'
-_PERSON_UNWANTED_STARTS = ("List of ",)  # en/namelist.py:14
 
 
-def is_unsuitable_key(key: str, type_str: str) -> bool:
-    """namelist.py:968-1015 (derived_names branch, SURVEY §1.4.5)."""
+def is_unsuitable_key(key: str, type_str: str,
+                      person_unwanted_starts: tuple = ("List of ",)) -> bool:
+    """namelist.py:968-1015 (derived_names branch, SURVEY §1.4.5).
+    ``person_unwanted_starts`` is language-specific (EN default; pass the
+    lang module's table from build_namelist — cs 'Seznam ', sk 'Zoznam ')."""
     for x in _UNSUITABLE_CHARS:
         if x in key:
             return True
@@ -378,9 +381,8 @@ def is_unsuitable_key(key: str, type_str: str) -> bool:
         elif "geographical" in type_str:
             return True
     if "person" in type_str:
-        # language-specific unwanted starts (namelist.py:990-994; EN list
-        # lang_modules/en/namelist.py:14 — cs/sk would add "Seznam "/"Zoznam ")
-        for unwanted in _PERSON_UNWANTED_STARTS:
+        # language-specific unwanted starts (namelist.py:990-994)
+        for unwanted in person_unwanted_starts:
             if key.startswith(unwanted):
                 return True
     if re.match(r"^[a-zß-ÿ]", key):
@@ -461,6 +463,14 @@ def build_namelist(
     """
     from .variants import all_person_variants, geographical_variants
 
+    # language tables for the build-time filters (EN when no module given)
+    from .lang import EN as _EN
+    lang_mod = lang if lang is not None else _EN
+    person_unwanted = getattr(lang_mod, "person_unwanted_starts", ("List of ",))
+    unwanted_re = _unwanted_match_re(
+        getattr(lang_mod, "unwanted_match_words",
+                frozenset({"Saint", "Holy", "from", "Prince"})))
+
     # stoplist morphological expansion (create_cedar.sh:421-437): each stop
     # word also blocks its word-wise-capitalized (sed 's/\b\(.\)/\u\1/g'),
     # ALL-UPPER and all-lower variants
@@ -476,7 +486,7 @@ def build_namelist(
         key = re.sub(r"\s+", " ", key).strip()
         if not key:
             return
-        if filter_keys and is_unsuitable_key(key, type_str):
+        if filter_keys and is_unsuitable_key(key, type_str, person_unwanted):
             return
         keys.setdefault(key, set()).add(line)
 
@@ -493,7 +503,7 @@ def build_namelist(
             conf = kb.get_score(i)
             if conf >= threshold:
                 m = _SURNAME_RE.search(name)
-                if m and not _UNWANTED_MATCH_RE.search(name):
+                if m and not unwanted_re.search(name):
                     surname = m.group(0)
                     if surname != name:
                         add(surname, i, t)

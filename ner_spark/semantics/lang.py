@@ -29,6 +29,12 @@ class LangModule:
     sense_rules: Callable = field(default=None)
     # "There is ..." suppression: fn(mention, text) -> bool
     location_coref: Callable = field(default=None)
+    # namelist-build tables (automata/src/lang_modules/<lang>/namelist.py):
+    # person keys starting with these are dropped (namelist.py:990-994);
+    # names containing these standalone words get no surname key
+    # (saint variants + lang unwanted, namelist.re_unwanted_match)
+    person_unwanted_starts: tuple = ()
+    unwanted_match_words: frozenset = frozenset()
 
 
 # -- EN (ner/lang_modules/en/entity.py:12-25, en/word_types.py) ------------
@@ -76,6 +82,9 @@ EN = LangModule(
     verbs=(" was ", " were ", " is "),
     sense_rules=_en_sense_rules,
     location_coref=_en_location_coref,
+    person_unwanted_starts=("List of ",),  # en/namelist.py:14
+    unwanted_match_words=frozenset(
+        {"Saint", "Holy", "from", "Prince"}),  # en/namelist.py:10-22
 )
 
 
@@ -103,6 +112,11 @@ CS = LangModule(
     proper_nouns_preps=frozenset(),
     verbs=(" byl ", " byla ", " je "),
     sense_rules=_cs_sense_rules,
+    person_unwanted_starts=("Seznam ",),  # cs/namelist.py:14
+    unwanted_match_words=frozenset(
+        {"Svatý", "Svatého", "Svatému", "Svatém", "Svatým", "Svatá",
+         "Svaté", "Svatou", "Svatí", "Svatých", "Svatými",
+         "z", "Princ"}),  # cs/namelist.py:10-31
 )
 
 
@@ -118,6 +132,11 @@ SK = LangModule(
     },
     proper_nouns_preps=frozenset(),
     verbs=(" bol ", " bola ", " je "),
+    person_unwanted_starts=("Zoznam ",),  # sk/namelist.py:14
+    unwanted_match_words=frozenset(
+        {"Svätý", "Svätého", "Svätému", "Svätom", "Svätým", "Svätá",
+         "Svätej", "Svätú", "Svätou", "Svätí", "Svätých", "Svätými",
+         "z", "Princ"}),  # sk/namelist.py:10-31
 )
 
 

@@ -268,7 +268,9 @@ def test_unsuitable_key_person_list_of():
 
     assert is_unsuitable_key("List of Smiths", "person")
     assert not is_unsuitable_key("Lister Smith", "person")
-    assert not is_unsuitable_key("List of Peaks", "geographical") is True or True
+    # the filter is person-only (namelist.py:990-994 runs inside the
+    # person branch)
+    assert not is_unsuitable_key("List of Peaks", "geographical")
 
 
 def test_surname_index_unwanted_match_guard():
