@@ -80,3 +80,21 @@ def test_interval_join_plan_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_negative_domain(spark):
+    """Bucketing uses cast-to-long truncation on BOTH sides; monotonicity
+    makes containment hold across zero (points/dates before the epoch)."""
+    from ner_spark.operators import interval_join
+
+    pts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(range(-120, 121, 7))],
+        "pid long, d long")
+    ivs = spark.createDataFrame(
+        [(1, -100, -20), (2, -50, 50), (3, -5, 5), (4, 30, 125)],
+        "iid long, s long, e long")
+    got = {(r.pid, r.iid) for r in
+           interval_join(pts, ivs, "d", "s", "e", bucket_width=90).collect()}
+    want = {(p.pid, i.iid) for p in pts.collect() for i in ivs.collect()
+            if i.s <= p.d < i.e}
+    assert got == want and want
