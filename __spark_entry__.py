@@ -21,7 +21,8 @@ from pyspark.sql import Window
 
 from ner_spark.fixtures.dockb import (SURFACES, compile_dockb, dockb_rows,
                                       surface_case_sql, surfaces_in_list_sql)
-from ner_spark.operators import asof_join, interval_join, salted_count
+from ner_spark.operators import (asof_join, interval_join, salted_count,
+                                 salted_join)
 from ner_spark.pipeline.ner import extract_mentions, scan_mentions
 from ner_spark.pipeline.cc import connected_components
 from ner_spark.pipeline.triples import build_triples, comention_edges
@@ -191,6 +192,21 @@ def q_click_only_users(spark, sf_dir):
 
 def q_salted_count(spark, sf_dir):
     return salted_count(_t(spark, sf_dir, "orders"), "o_custkey", salt_k=8)
+
+
+def q_salted_join(spark, sf_dir):
+    """The north rule's explicit skew device on a JOIN: the (skewed) fact
+    side is salted by a row hash, the dim side replicated salt_k×, and the
+    join runs on (key, salt) so no reducer sees a whole hot key.  Results
+    are identical to the plain equi-join (the oracle IS the plain join);
+    tests/test_operators.py asserts the physical plan joins on _salt."""
+    o = _t(spark, sf_dir, "orders")
+    seg = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    j = salted_join(o, seg, "o_custkey", salt_k=8)
+    return (j.groupBy("c_mktsegment")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
 
 
 def q_windowed_event_counts(spark, sf_dir):
@@ -619,6 +635,11 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-backed queries FIRST: the driver's correctness harness checks
+    the first 50 dict entries, so every query with an oracle_sql() row must
+    sit inside that window (round-2 lesson — 4 oracle-backed queries fell
+    off the end).  The rows-only queries (sketches / approximate by design)
+    are deliberately last."""
     return {
         "tpch_q1": q_tpch_q1,
         "top_order_per_customer": q_top_order_per_customer,
@@ -630,12 +651,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_orders": q_customers_with_orders,
         "click_only_users": q_click_only_users,
         "salted_count": q_salted_count,
+        "salted_join": q_salted_join,
         "asof_join_events": q_asof_join_events,
         "windowed_event_counts": q_windowed_event_counts,
         "session_windows": q_session_windows,
         "order_window_shipments": q_order_window_shipments,
         "distinct_users_exact": q_distinct_users_exact,
-        "distinct_users_hll": q_distinct_users_hll,
         "event_props_json": q_event_props_json,
         "event_value_quantiles": q_event_value_quantiles,
         "kgc_mention_counts": q_kgc_mention_counts,
@@ -643,7 +664,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgc_comention_pairs": q_kgc_comention_pairs,
         "kgc_triples": q_kgc_triples,
         "kgc_entity_degree": q_kgc_entity_degree,
-        "kgc_pagerank": q_kgc_pagerank,
         "kgc_sameas": q_kgc_sameas,
         "kgc_connected_components": q_kgc_connected_components,
         "text_token_stats": q_text_token_stats,
@@ -664,17 +684,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
         "embed_knn": q_embed_knn,
-        "embed_lsh": q_embed_lsh,
         "embed_lsh_full": q_embed_lsh_full,
-        "embed_ivf": q_embed_ivf,
         "embed_ivf_full": q_embed_ivf_full,
         "embed_near_dup": q_embed_near_dup,
-        "embed_lsh_near_dup": q_embed_lsh_near_dup,
         "warc_source": q_warc_source,
         "multimodal_features": q_multimodal_features,
+        # ---- rows-only (approximate/iterative by design; no oracle) ----
+        "distinct_users_hll": q_distinct_users_hll,
+        "kgc_pagerank": q_kgc_pagerank,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "embed_lsh": q_embed_lsh,
+        "embed_ivf": q_embed_ivf,
+        "embed_lsh_near_dup": q_embed_lsh_near_dup,
     }
 
 
@@ -779,6 +802,12 @@ def oracle_sql() -> dict[str, str]:
         "salted_count": """
             SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
         """,
+        "salted_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
         "tpch_q3_like": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -860,7 +889,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_props_json": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS k_sum,
                    count(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
                               THEN 1 END) AS n_high
             FROM events
@@ -951,7 +981,7 @@ def oracle_sql() -> dict[str, str]:
                  sym AS (SELECT subj AS node, weight FROM e
                          UNION ALL SELECT obj, weight FROM e)
             SELECT node, count(*) AS degree,
-                   sum(weight) AS weighted_degree
+                   CAST(sum(weight) AS BIGINT) AS weighted_degree
             FROM sym GROUP BY node
         """,
         "kgc_sameas": _KGC_SAMEAS_SQL,
@@ -1048,7 +1078,8 @@ def oracle_sql() -> dict[str, str]:
                                               FOR i IN range(1, greatest(len(toks)-2, 1)+1)]) AS g
                        FROM t),
                  c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
-            SELECT doc_id, sum(c) AS n_trigrams, max(c) AS top_count,
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+                   max(c) AS top_count,
                    round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_fraction
             FROM c GROUP BY doc_id
         """,
@@ -1075,11 +1106,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "priority_pivot": """
             SELECT n_name,
-                   sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1,
-                   sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2,
-                   sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3,
-                   sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4,
-                   sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+                   CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+                   CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+                   CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+                   CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
@@ -1116,9 +1147,10 @@ def oracle_sql() -> dict[str, str]:
               FROM events),
             s AS (
               SELECT user_id, value,
-                     sum(new_sess) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS session_seq
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_seq
               FROM g)
             SELECT user_id, session_seq, count(*) AS n_events,
                    round(sum(value), 2) AS session_value

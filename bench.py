@@ -29,7 +29,8 @@ HEADLINE = [
     "kgc_connected_components", "kgc_mention_kb_join",
     "tpch_q1", "tpch_q3_like", "tpch_q5_like", "tpch_q10_like",
     "revenue_by_nation", "revenue_rollup",
-    "top_order_per_customer", "salted_count", "asof_join_events",
+    "top_order_per_customer", "salted_count", "salted_join",
+    "asof_join_events",
     "windowed_event_counts", "customers_without_orders",
     "customers_with_orders", "click_only_users",
     "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
@@ -90,15 +91,24 @@ def main() -> None:
     if "kgc_triples" in times and times["kgc_triples"] > 0:
         throughput["triples_per_sec"] = round(
             rows["kgc_triples"] / times["kgc_triples"], 1)
+    detail = {"queries": times, "rows": rows}
+    # per-query detail goes to a file AND a non-final stdout line; the LAST
+    # stdout line is a compact summary that survives the driver's tail
+    # capture (round 2's full line was truncated from the head → unparsed)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail))
     out = {
         "metric": "total_headline_sec",
         "value": total,
         "unit": "sec",
-        "queries": times,
         "sf": sf,
-        "rows": rows,
+        "n_queries": len(times),
         "throughput": throughput,
-        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
+        "cpus": cpus,
+        "detail_file": detail_path,
     }
     print(json.dumps(out))
 

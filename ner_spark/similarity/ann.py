@@ -56,17 +56,28 @@ def hyperplane_buckets(df: DataFrame, bits: int = 8, seed: int = 42,
     """(id, bucket int[, vec]) — sign pattern against ``bits`` random
     hyperplanes.  ``carry_vec`` passes the vector through the same narrow
     stage so downstream bucket joins need no extra join back to the
-    corpus (shuffle width grows by the vector, but two shuffles drop)."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    H = np.random.RandomState(seed).normal(size=(bits, dim))
+    corpus (shuffle width grows by the vector, but two shuffles drop).
+
+    The hyperplane matrix is generated INSIDE the UDF, lazily, from
+    ``(seed, dim)`` — seeded numpy is deterministic, so every worker
+    derives the identical matrix and plan construction triggers no Spark
+    job (no driver-side ``first()`` to sniff the dimension; pass ``dim``
+    only if you want the failure earlier)."""
+    if dim is not None:
+        H0 = np.random.RandomState(seed).normal(size=(bits, dim))
+    else:
+        H0 = None
 
     src = df.select(id_col, vec_col)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        H = H0
         weights = (1 << np.arange(bits)).astype(np.int64)
         for pdf in batches:
             mat = np.stack(pdf[vec_col].map(np.asarray).to_list())
+            if H is None:
+                H = np.random.RandomState(seed).normal(
+                    size=(bits, mat.shape[1]))
             signs = (mat @ H.T) > 0
             buckets = (signs.astype(np.int64) * weights).sum(axis=1)
             out = {id_col: pdf[id_col], "bucket": buckets}

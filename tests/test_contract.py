@@ -1,0 +1,80 @@
+"""Structural guards on the driver contract (__spark_entry__).
+
+Two consecutive rounds were lost to drift between the local replica and the
+driver's correctness harness:
+
+  * round 1: Arrow-enabled toPandas masked an Int64-NA difference;
+  * round 2: DuckDB types a bare ``sum(integer)`` as HUGEINT, which the
+    driver's pandas fetch renders as float64 against Spark's int64 —
+    hash mismatch with rows and schema matching.
+
+These tests make the round-2 class structurally impossible: every oracle is
+``DESCRIBE``d (planned, not executed) and no projected column may be
+HUGEINT/UHUGEINT/DECIMAL — those types change representation under a
+pandas/Arrow fetch.  A second test pins that queries() keeps all
+oracle-backed entries inside the driver's 50-entry window.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+BANNED_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return c
+
+
+def test_no_oracle_projects_hugeint_or_decimal(con):
+    bad = {}
+    for name, sql in entrymod.oracle_sql().items():
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        hits = [(col, typ) for col, typ, *_ in desc
+                if any(b in typ.upper() for b in BANNED_TYPES)]
+        if hits:
+            bad[name] = hits
+    assert not bad, (
+        f"oracles projecting pandas-unstable types (wrap in CAST(... AS "
+        f"BIGINT/DOUBLE)): {bad}")
+
+
+def test_every_oracle_has_a_query_and_matching_order():
+    qs = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    # every oracle key must be a real query
+    assert set(oracles) <= set(qs)
+    # the driver checks only the first 50 queries() entries: every
+    # oracle-backed query must sit inside that window
+    outside = [n for n in qs[50:] if n in oracles]
+    assert not outside, f"oracle-backed queries past entry 50: {outside}"
+    # and rows-only queries must not displace oracle-backed ones
+    n_oracle = len(oracles)
+    assert qs[:n_oracle] == [n for n in qs if n in oracles][:n_oracle] or \
+        all(n in oracles for n in qs[:n_oracle]), (
+            "rows-only queries interleaved before oracle-backed ones")
+
+
+def test_oracle_matches_spark_columns(con, spark, sf_dir):
+    """Column-name parity without executing Spark jobs: the driver sorts
+    columns by name before hashing, so a rename on one side is a guaranteed
+    hash mismatch.  DESCRIBE gives DuckDB's names; Spark's come from the
+    (lazy) DataFrame schema."""
+    qs = entrymod.queries()
+    mismatches = {}
+    for name, sql in entrymod.oracle_sql().items():
+        ocols = sorted(r[0] for r in con.execute(f"DESCRIBE {sql}").fetchall())
+        scols = sorted(qs[name](spark, sf_dir).columns)
+        if ocols != scols:
+            mismatches[name] = (scols, ocols)
+    assert not mismatches, f"spark/oracle column drift: {mismatches}"

@@ -98,3 +98,49 @@ def test_interval_join_negative_domain(spark):
     want = {(p.pid, i.iid) for p in pts.collect() for i in ivs.collect()
             if i.s <= p.d < i.e}
     assert got == want and want
+
+
+def test_salted_join_plan_joins_on_salt(spark):
+    """The physical plan must actually join on (key, _salt) — the whole
+    point of the operator is that a hot key is spread over salt_k
+    reducers; a plan that optimized the salt away would silently degrade
+    to the skewed join."""
+    big = _skewed_df(spark)
+    small = spark.createDataFrame(
+        [(k, f"name{k}") for k in range(1, 51)], "k int, name string")
+    plan = salted_join(big, small, "k", salt_k=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+
+
+def test_lsh_plan_construction_runs_no_job(spark):
+    """hyperplane_buckets must not touch the cluster while the plan is
+    being BUILT (it used to run a first() to sniff the vector dim —
+    a driver action inside query construction)."""
+    from ner_spark.similarity.ann import lsh_near_dup_pairs, lsh_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, -1.0, 0.5]) for i in range(16)],
+        "vec_id long, embedding array<float>")
+    sc = spark.sparkContext
+    group = "plan-build-no-job"
+    sc.setJobGroup(group, "plan construction must be lazy")
+    try:
+        df1 = lsh_topk(emb, emb.filter("vec_id < 2"), k=3, bits=4)
+        df2 = lsh_near_dup_pairs(emb, threshold=0.5, bits=4)
+        _ = df1.schema, df2.schema  # force analysis, not execution
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == []
+    # and the lazily-derived hyperplanes still produce correct buckets:
+    # bits=4 on 4-dim vectors, worker-side H == driver-side H
+    import numpy as np
+    from ner_spark.similarity.ann import hyperplane_buckets
+    got = {r.vec_id: r.bucket
+           for r in hyperplane_buckets(emb, bits=4, seed=42).collect()}
+    H = np.random.RandomState(42).normal(size=(4, 4))
+    for i in range(16):
+        v = np.array([float(i), 1.0, -1.0, 0.5])
+        want = int(((v @ H.T) > 0).astype(int) @ (1 << np.arange(4)))
+        assert got[i] == want

@@ -7,6 +7,13 @@ column names and an order-insensitive value hash.  Usage:
 ``--no-arrow`` disables Arrow-batched createDataFrame/toPandas conversion,
 replicating the driver harness environment that caught round 1's
 Int64-NA bug; run the gate BOTH ways before shipping.
+
+Both result sets are fetched THROUGH PANDAS (Spark ``toPandas()``, DuckDB
+``res.df()``) because that is the driver harness's fetch path.  Round 2 was
+lost to fetching the oracle via ``fetchall()`` (Python ints), which hid that
+DuckDB types a bare ``sum(integer)`` as HUGEINT → float64 under pandas while
+Spark emits int64 — a guaranteed hash mismatch.  tests/test_contract.py
+additionally asserts no oracle projects HUGEINT/DECIMAL at all.
 """
 
 from __future__ import annotations
@@ -73,14 +80,15 @@ def main() -> None:
         if only and name not in only:
             continue
         df = fn(spark, sf_dir)
-        sdata = [tuple(r) for r in df.collect()]
-        scols = df.columns
+        spdf = df.toPandas()
+        sdata = list(spdf.itertuples(index=False, name=None))
+        scols = list(spdf.columns)
         if name not in oracles:
             print(f"{name:28s} rows={len(sdata):7d}  (rows-only, no oracle)")
             continue
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        odata = res.fetchall()
+        odf = con.execute(oracles[name]).df()
+        ocols = list(odf.columns)
+        odata = list(odf.itertuples(index=False, name=None))
         sh, oh = value_hash(sdata, scols), value_hash(odata, ocols)
         ok = (len(sdata) == len(odata) and sorted(scols) == sorted(ocols)
               and sh == oh)
