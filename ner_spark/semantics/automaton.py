@@ -165,10 +165,11 @@ class GazetteerAutomaton:
         texts: list[str] = []
         starts: list[int] = []
         ends: list[int] = []
+        t_app, s_app, e_app = texts.append, starts.append, ends.append
         for mo in _TOKEN_RE.finditer(text):
-            texts.append(mo.group())
-            starts.append(mo.start())
-            ends.append(mo.end())
+            t_app(mo.group())
+            s_app(mo.start())
+            e_app(mo.end())
         out: list[Match] = []
         keys = self.keys
         prefixes = self.prefixes
@@ -176,10 +177,11 @@ class GazetteerAutomaton:
         nw = len(texts)
         i = 0
         while i < nw:
-            if texts[i] not in first:
+            word = texts[i]
+            if word not in first:
                 i += 1
                 continue
-            path = texts[i]
+            path = word
             j = i
             best_j = -1
             best_ids: tuple[int, ...] | None = None

@@ -182,10 +182,59 @@ class KBBundle:
     _nat_cache: dict = field(default_factory=dict, repr=False)
     _dates_cache: dict = field(default_factory=dict, repr=False)
     _multival_cache: dict = field(default_factory=dict, repr=False)
+    # hot-path derived arrays (type/score/name/gender by line id) — built
+    # lazily per process so raw `KBBundle(cols=...)` constructions (tests)
+    # stay valid; index 0 carries the neutral value.  The resolve kernel
+    # indexes these directly instead of bouncing through the accessor
+    # methods (~10 accessor calls per mention otherwise)
+    _type_arr: list = field(default_factory=list, repr=False)
+    _score_arr: list = field(default_factory=list, repr=False)
+    _name_arr: list = field(default_factory=list, repr=False)
+    _gender_arr: list = field(default_factory=list, repr=False)
+    _person_flag: list = field(default_factory=list, repr=False)
 
     # -- reference accessor surface ------------------------------------
     def n_rows(self) -> int:
         return len(self.cols["name"]) - 1
+
+    # -- derived hot arrays (values identical to the accessors) --------
+    def type_arr(self) -> list:
+        """type_arr()[line] == get_ent_type(line) for line in 1..n."""
+        if not self._type_arr:
+            self._type_arr = [x or "" for x in self.cols["type"]]
+        return self._type_arr
+
+    def score_arr(self) -> list:
+        """score_arr()[line] == get_score(line) for line in 1..n."""
+        if not self._score_arr:
+            out = []
+            for x in self.cols["confidence"]:
+                try:
+                    out.append(float(x))
+                except (ValueError, TypeError):
+                    out.append(0.0)
+            self._score_arr = out
+        return self._score_arr
+
+    def name_arr(self) -> list:
+        """name_arr()[line] == get_data_for(line, 'NAME')."""
+        if not self._name_arr:
+            self._name_arr = [str(x or "") for x in self.cols["name"]]
+        return self._name_arr
+
+    def gender_arr(self) -> list:
+        """gender_arr()[line] == get_data_for(line, 'GENDER')."""
+        if not self._gender_arr:
+            self._gender_arr = [str(x or "") for x in self.cols["gender"]]
+        return self._gender_arr
+
+    def person_flag_arr(self) -> list:
+        """flag[line] == get_ent_type(line) in ('person', 'person:artist',
+        'person:fictional') — the exact-person test of entity.py:151-185."""
+        if not self._person_flag:
+            pf = ("person", "person:artist", "person:fictional")
+            self._person_flag = [t in pf for t in self.type_arr()]
+        return self._person_flag
 
     def get_ent_type(self, line: int) -> str:
         """Type path STRING; all callers do substring tests (SURVEY §1.4.1)."""

@@ -47,6 +47,7 @@ from .lang import EN, LangModule
 from .textnorm import ncr2unicode, remove_accent_unicode
 
 _PAR_RE = re.compile(r"(\r?\n|\r)\1+")  # ner.py:156
+_ALL_SPACES_RE = re.compile(r"^[ ]+$")  # ner.py:556 adjacency gap test
 
 
 def offsets_of_paragraphs(text: str) -> list[int]:
@@ -57,6 +58,13 @@ def offsets_of_paragraphs(text: str) -> list[int]:
 
 
 _MISSING = object()
+
+
+@lru_cache(maxsize=65536)
+def _deaccent_lower(s: str) -> str:
+    """Memoized ``remove_accent_unicode(s).lower()`` — mention surfaces
+    repeat heavily (Zipf), and this pair is on the per-mention hot path."""
+    return remove_accent_unicode(s).lower()
 
 
 @lru_cache(maxsize=8192)
@@ -111,24 +119,22 @@ class Mention:
         self.next_to_same_type = False
         self.begin_of_paragraph: int | None = None
 
-    # entity.py:103-131
+    # entity.py:103-131 (type-is checks: Mention has no subclasses)
     def set_preferred_sense(self, sense, register: "Register") -> None:
         self.preferred_sense = sense
-        if not isinstance(sense, Mention):
+        if type(sense) is not Mention:
             register.insert(self, sense)
 
     def has_preferred_sense(self) -> bool:
         return bool(self.preferred_sense)
 
     def get_preferred_sense(self):
-        if isinstance(self.preferred_sense, Mention):
-            return self.preferred_sense.preferred_sense
-        return self.preferred_sense
+        ps = self.preferred_sense
+        return ps.preferred_sense if type(ps) is Mention else ps
 
     def get_preferred_entity(self) -> "Mention":
-        if not isinstance(self.preferred_sense, Mention):
-            return self
-        return self.preferred_sense
+        ps = self.preferred_sense
+        return ps if type(ps) is Mention else self
 
     def is_person(self, kb: KBBundle) -> bool:
         if self.is_name:
@@ -152,13 +158,25 @@ class Register:
 
     def insert(self, m: Mention, sense: int | None) -> None:
         key = id(m)
+        i2e = self._id2entity
         old = self.entity2id.get(key, _MISSING)
         if old is not _MISSING:
-            bucket = self._id2entity.get(old)
+            if old == sense:
+                # re-point to the same sense (dwoc→dwc on a single
+                # candidate): state is already exact.  The reference's
+                # discard/append would move m to the bucket tail, but every
+                # consumer sorts by unique (distance, start) keys, so the
+                # bucket order is unobservable.
+                return
+            bucket = i2e.get(old)
             if bucket is not None:
                 bucket.pop(key, None)
         self.entity2id[key] = sense
-        self._id2entity.setdefault(sense, {})[key] = m
+        b = i2e.get(sense)
+        if b is None:
+            i2e[sense] = {key: m}
+        else:
+            b[key] = m
 
     def mentions_of(self, sense) -> list["Mention"]:
         """Insertion-ordered mentions registered under ``sense``."""
@@ -190,14 +208,24 @@ class Context:
         self.last_location = None
         self.before_last_male = None
         self.before_last_female = None
+        # static-percentile memo caches: everything the percentile fns read
+        # except the 'person' mention bucket is frozen once __init__ ends,
+        # so per-(paragraph, candidate) results/partials are exact to reuse
+        self._pp_static: dict = {}
+        self._oe_cache: dict = {}
+        self._cp_cache: dict = {}
+        # hot KB arrays pinned once per Context (update() runs per mention)
+        self._tarr = kb.type_arr()
+        self._garr = kb.gender_arr()
 
         bounds = self.paragraphs + [2**62]
         ent_index = 0
         nat_index = 0
         n_ed = len(entities_and_dates)
         n_nat = len(nationalities)
-        get_type = kb.get_ent_type
+        tarr = self._tarr
         get_data = kb.get_data_for
+        names = kb.name_arr()
         for pi, par in enumerate(self.paragraphs):
             buckets = self.mentions[par] = {}
             par_nats = self.people_nationalities[par] = []
@@ -210,18 +238,23 @@ class Context:
                     par_nats.append(name)
                 nat_index += 1
             par_text = None  # sliced lazily, once per paragraph
+            tseen: dict = {}  # type string → its count bucket (post-seed)
             while ent_index < n_ed and entities_and_dates[ent_index].start < nxt:
                 ent = entities_and_dates[ent_index]
-                if isinstance(ent, Mention):
+                if type(ent) is Mention:  # else: DateMatch (only 2 classes)
                     ent.begin_of_paragraph = par
                     if not ent.poorly_disambiguated:
-                        pref = ent.get_preferred_sense()
-                        t = get_type(pref)
-                        for ch in _uniq_chars(t):  # char quirk (context.py:109-111)
-                            buckets.setdefault(ch, {})
-                        last_ch = t[-1] if t else ""
-                        name = get_data(pref, "NAME")
-                        bucket = buckets.setdefault(last_ch, {})
+                        pref = ent.preferred_sense
+                        if type(pref) is Mention:
+                            pref = pref.preferred_sense
+                        t = tarr[pref]  # pref is a KB line id ≥ 1 here
+                        bucket = tseen.get(t)
+                        if bucket is None:
+                            for ch in _uniq_chars(t):  # char quirk (context.py:109-111)
+                                buckets.setdefault(ch, {})
+                            bucket = buckets.setdefault(t[-1] if t else "", {})
+                            tseen[t] = bucket
+                        name = names[pref]
                         bucket[name] = bucket.get(name, 0) + 1
                         if "geo" in t:
                             country = get_data(pref, "COUNTRY")
@@ -233,11 +266,11 @@ class Context:
                         if par_text is None:
                             par_text = text[par:nxt if nxt < 2**62 else len(text)]
                         for c in ent.candidates:
-                            if "person" in get_type(c):
+                            if "person" in tarr[c]:
                                 for p in kb.get_multival(c, "ROLES"):
                                     if par_text.find(p) != -1 and p not in par_profs:
                                         par_profs.append(p)
-                elif isinstance(ent, DateMatch):
+                elif type(ent) is DateMatch:
                     par_dates.append(ent.iso.show_without_zeros())
                     if ent.iso_to is not None:  # unsplit INTERVAL: both
                         par_dates.append(ent.iso_to.show_without_zeros())
@@ -257,12 +290,15 @@ class Context:
 
     # context.py:185-207
     def update(self, entity: Mention) -> None:
-        pref = entity.get_preferred_sense()
-        t = self.kb.get_ent_type(pref)
+        pref = entity.preferred_sense
+        if type(pref) is Mention:
+            pref = pref.preferred_sense
+        t = self._tarr[pref] if type(pref) is int and pref >= 1 \
+            else self.kb.get_ent_type(pref)
         if "person" in t:
             self.before_last_person = self.last_person
             self.last_person = entity
-            gender = self.kb.get_data_for(pref, "GENDER")
+            gender = self._garr[pref]
             if gender == "M":
                 self.last_male = entity
                 self.last_unknown_gender = None
@@ -293,34 +329,49 @@ class Context:
     # context.py:227-283
     def person_percentile(self, candidate: int) -> float:
         par = self.paragraphs[self.paragraph_index]
-        nat_score = 0.0
-        person_nats = self.kb.get_nationalities(candidate)
-        for nat in self.people_nationalities[par]:
-            if nat in person_nats:
-                nat_score += 1
-        if self.people_nationalities[par]:
-            nat_score = nat_score * 100.0 / len(self.people_nationalities[par])
-        date_score = 0.0
-        person_dates = self.kb.get_dates(candidate)
-        for cd in self.people_dates[par]:
-            for pd in person_dates:
-                if cd.find(pd) > -1 or pd.find(cd) > -1:
-                    date_score += 1
-        if self.people_dates[par]:
-            date_score = date_score * 100.0 / len(self.people_dates[par])
-        prof_score = 0.0
-        # reference quirk preserved: the unguarded split yields [''] for an
-        # empty ROLES cell, and '' CAN appear in the collected professions
-        # (a malformed 'actor||' cell collects '' because find('') == 0) —
-        # so an empty-ROLES candidate must still probe with ''
-        for prof in self.kb.get_multival(candidate, "ROLES") or ("",):
-            if prof in self.people_professions[par]:
-                prof_score += 1
-        if self.people_professions[par]:
-            prof_score = prof_score * 100.0 / len(self.people_professions[par])
-        mention_score = self.mentioned_in_par(
-            [self.kb.get_data_for(candidate, "NAME")], "person")
-        result = (nat_score + date_score + prof_score + mention_score) / 4.0
+        # nat/date/prof read only paragraph lists frozen at __init__; the
+        # mention part reads the (mutable) 'person' bucket — so the static
+        # partial sum is cached per (paragraph, candidate) and the mention
+        # score recomputed each call.  Float association preserved:
+        # ((nat+date)+prof)+mention exactly as the inline sum.
+        key = (par, candidate)
+        static = self._pp_static.get(key)
+        if static is None:
+            nat_score = 0.0
+            person_nats = self.kb.get_nationalities(candidate)
+            for nat in self.people_nationalities[par]:
+                if nat in person_nats:
+                    nat_score += 1
+            if self.people_nationalities[par]:
+                nat_score = nat_score * 100.0 / len(self.people_nationalities[par])
+            date_score = 0.0
+            person_dates = self.kb.get_dates(candidate)
+            for cd in self.people_dates[par]:
+                for pd in person_dates:
+                    if cd.find(pd) > -1 or pd.find(cd) > -1:
+                        date_score += 1
+            if self.people_dates[par]:
+                date_score = date_score * 100.0 / len(self.people_dates[par])
+            prof_score = 0.0
+            # reference quirk preserved: the unguarded split yields [''] for
+            # an empty ROLES cell, and '' CAN appear in the collected
+            # professions (a malformed 'actor||' cell collects '' because
+            # find('') == 0) — an empty-ROLES candidate still probes with ''
+            for prof in self.kb.get_multival(candidate, "ROLES") or ("",):
+                if prof in self.people_professions[par]:
+                    prof_score += 1
+            if self.people_professions[par]:
+                prof_score = prof_score * 100.0 / len(self.people_professions[par])
+            static = nat_score + date_score + prof_score
+            self._pp_static[key] = static
+        # inline of mentioned_in_par([name], "person") — 1-element probe
+        mention_score = 0.0
+        bucket = self.mentions[par].get("person")
+        if bucket:
+            cnt = bucket.get(self.kb.name_arr()[candidate])
+            if cnt:
+                mention_score = cnt * 100.0 / sum(bucket.values())
+        result = (static + mention_score) / 4.0
         prev = self.people_max_scores.get(candidate)
         if prev is None or result > prev:
             self.people_max_scores[candidate] = result
@@ -332,14 +383,27 @@ class Context:
 
     # context.py:294-299
     def common_percentile(self, candidate: int, ent_type: str) -> float:
-        return self.mentioned_in_par(
-            [self.kb.get_data_for(candidate, "NAME")], ent_type)
+        # ent_type is a single type-string char here (caller quirk), never
+        # 'person' — the bucket it reads is frozen → result cacheable
+        key = (self.paragraphs[self.paragraph_index], candidate, ent_type)
+        r = self._cp_cache.get(key)
+        if r is None:
+            r = self.mentioned_in_par(
+                [self.kb.name_arr()[candidate]], ent_type)
+            self._cp_cache[key] = r
+        return r
 
     # context.py:301-328
     def org_event_percentile(self, candidate: int, ent_type: str) -> float:
         par = self.paragraphs[self.paragraph_index]
+        # reads only 'organization'/'event'/'settlement' buckets + frozen
+        # paragraph dates — fully cacheable per (par, candidate, ent_type)
+        key = (par, candidate, ent_type)
+        r = self._oe_cache.get(key)
+        if r is not None:
+            return r
         mention_score = self.mentioned_in_par(
-            [self.kb.get_data_for(candidate, "NAME")], ent_type)
+            [self.kb.name_arr()[candidate]], ent_type)
         place_score = self.mentioned_in_par(
             [self.kb.get_data_for(candidate, "LOCATION")], "settlement")
         if ent_type == "organisation":  # 'organization' callers take the else!
@@ -355,7 +419,9 @@ class Context:
                     date_score += 1
         if self.people_dates[par]:
             date_score = date_score * 100.0 / len(self.people_dates[par])
-        return (mention_score + place_score + date_score) / 3.0
+        r = (mention_score + place_score + date_score) / 3.0
+        self._oe_cache[key] = r
+        return r
 
 
 # ---------------------------------------------------------------------------
@@ -409,10 +475,12 @@ def disambiguate_without_context(m: Mention, kb: KBBundle, text: str,
     if lang.sense_rules:
         lang.sense_rules(m, kb, text)
 
+    tarr = kb.type_arr()
+
     # artist → exclude groups (intended semantics; see module docstring)
     for s in m.senses:
-        if "artist" in kb.get_ent_type(s):
-            m.senses = [x for x in m.senses if "group" not in kb.get_ent_type(x)]
+        if "artist" in tarr[s]:
+            m.senses = [x for x in m.senses if "group" not in tarr[x]]
             break
 
     # verb + JOBS elimination (entity.py:151-185).  The sentence/verb scan
@@ -421,8 +489,9 @@ def disambiguate_without_context(m: Mention, kb: KBBundle, text: str,
     # reference computes it unconditionally; results are identical).
     verb_index = -1
     has_person = False
+    pflag = kb.person_flag_arr()
     for s in m.senses:
-        if kb.get_ent_type(s) in ("person", "person:artist", "person:fictional"):
+        if pflag[s]:
             has_person = True
             break
     if has_person:
@@ -434,7 +503,7 @@ def disambiguate_without_context(m: Mention, kb: KBBundle, text: str,
     if verb_index != -1:
         professions: list[str] = []
         for s in m.senses:
-            if kb.get_ent_type(s) in ("person", "person:artist", "person:fictional"):
+            if pflag[s]:
                 cand = [p for p in kb.get_multival(s, "JOBS")
                         if sentence.find(" " + p + " ", verb_index) != -1]
                 if cand:
@@ -443,7 +512,7 @@ def disambiguate_without_context(m: Mention, kb: KBBundle, text: str,
         if professions:
             new_senses = []
             for s in m.senses:
-                if kb.get_ent_type(s) in ("person", "person:artist", "person:fictional"):
+                if pflag[s]:
                     # unguarded split in the reference: '' JOBS yields ['']
                     for p in kb.get_multival(s, "JOBS") or ("",):
                         if p in professions:
@@ -451,7 +520,8 @@ def disambiguate_without_context(m: Mention, kb: KBBundle, text: str,
                             break
             m.senses = new_senses
 
-    m.senses = _ordered_dedup(m.senses)
+    if len(m.senses) > 1:  # 0/1-sense dedup is the identity
+        m.senses = _ordered_dedup(m.senses)
     m.candidates = list(m.senses)
     if not m.candidates:
         return
@@ -470,18 +540,25 @@ def disambiguate_without_context(m: Mention, kb: KBBundle, text: str,
 
 def disambiguate_with_context(m: Mention, kb: KBBundle, ctx: Context, register: Register) -> None:
     """entity.py:209-262."""
-    if m.is_coreference or not m.candidates:
+    cands = m.candidates
+    if m.is_coreference or not cands:
         return
     ctx.recompute_paragraph_offset(m.start)
-    m.score = []
-    m.static_score = []
-    m.context_score = []
-    for c in m.candidates:
-        t = kb.get_ent_type(c)
-        static = kb.get_score(c)
+    tarr = kb.type_arr()
+    sarr = kb.score_arr()
+    score: list[float] = []
+    static_score: list[float] = []
+    context_score_l: list[float] = []
+    poorly = m.poorly_disambiguated
+    for c in cands:
+        t = tarr[c]
+        static = sarr[c]
         context_score = 0.0
         if "geo" in t:
-            context_score = ctx.country_percentile(kb.get_data_for(c, "COUNTRY"))
+            # country_percentile(COUNTRY) is constant 0.0 (the reference's
+            # never-populated countries{} quirk, context.py:285-293) — the
+            # COUNTRY fetch it would consume is dead, so neither runs
+            pass
         elif "person" in t:
             context_score = ctx.person_percentile(c)
         elif "organization" in t:
@@ -494,17 +571,21 @@ def disambiguate_with_context(m: Mention, kb: KBBundle, ctx: Context, register: 
                     context_score = ctx.common_percentile(c, ch)
                     break
         if context_score > 0:
-            m.poorly_disambiguated = False
-        m.static_score.append(static)
-        m.context_score.append(context_score)
-        m.score.append(static + context_score)
-    m.set_preferred_sense(m.candidates[m.score.index(max(m.score))], register)
+            poorly = False
+        static_score.append(static)
+        context_score_l.append(context_score)
+        score.append(static + context_score)
+    m.poorly_disambiguated = poorly
+    m.score = score
+    m.static_score = static_score
+    m.context_score = context_score_l
+    pref = cands[score.index(max(score))]
+    m.set_preferred_sense(pref, register)
 
     # explicit per-paragraph person count update (entity.py:253-262)
-    pref = m.get_preferred_sense()
-    t = kb.get_ent_type(pref)
-    if "person" in t and len(m.candidates) != 1:
-        name = kb.get_data_for(pref, "NAME")
+    t = tarr[pref]
+    if "person" in t and len(cands) != 1:
+        name = kb.name_arr()[pref]
         par = ctx.paragraphs[ctx.paragraph_index]
         bucket = ctx.mentions[par].setdefault("person", {})
         bucket.setdefault(name, 0)
@@ -571,8 +652,13 @@ def fix_poor_disambiguation(entities: list[Mention], kb: KBBundle,
     ents = [e for e in entities if not e.is_coreference]
     for e in ents:
         if not e.poorly_disambiguated:
-            strong.setdefault(e.source, []).append(e.get_preferred_entity())
-            strong_by_id.setdefault(e.get_preferred_sense(), []).append(e.get_preferred_entity())
+            ps = e.preferred_sense
+            if type(ps) is Mention:
+                ent, sense = ps, ps.preferred_sense
+            else:
+                ent, sense = e, ps
+            strong.setdefault(e.source, []).append(ent)
+            strong_by_id.setdefault(sense, []).append(ent)
     for e in ents:
         if e.poorly_disambiguated:
             candidates: list[Mention] = []
@@ -595,23 +681,27 @@ def resolve_coreferences(entities: list[Mention], kb: KBBundle, ctx: Context,
     — partial-match senses stay unfiltered and corefs stay unresolved
     (ner.py:350 ``if not print_all``); the people_in_text fill and the
     ``ctx.update`` register pass still run in every mode."""
+    tarr = kb.type_arr()
+    sarr = kb.score_arr()
+    people_in_text = ctx.people_in_text
     for e in entities:
-        if not e.is_coreference and e.has_preferred_sense():
-            pref = e.get_preferred_sense()
-            if "person" in kb.get_ent_type(pref):
-                ctx.people_in_text.add(pref)
+        ps = e.preferred_sense
+        if not e.is_coreference and ps:
+            pref = ps.preferred_sense if type(ps) is Mention else ps
+            if type(pref) is int and pref >= 1 and "person" in tarr[pref]:
+                people_in_text.add(pref)
     for e in entities:
         if e.is_coreference and not print_all:
             e.partial_match_senses = frozenset(
-                s for s in e.partial_match_senses if s in ctx.people_in_text)
+                s for s in e.partial_match_senses if s in people_in_text)
             if e.partial_match_senses:
                 sense = sorted(e.partial_match_senses,
-                               key=lambda c: (-kb.get_score(c), c))[0]
+                               key=lambda c: (-sarr[c], c))[0]
                 candidates = register.mentions_of(sense)
                 if not e.source_lower.startswith("the "):
-                    lo = remove_accent_unicode(e.source).lower()
+                    lo = _deaccent_lower(e.source)
                     candidates = [c for c in candidates
-                                  if lo in remove_accent_unicode(c.source).lower()]
+                                  if lo in _deaccent_lower(c.source)]
                 antecedent = _get_nearest_predecessor(e, candidates)
                 if antecedent:
                     e.set_preferred_sense(antecedent, register)
@@ -626,7 +716,7 @@ def resolve_coreferences(entities: list[Mention], kb: KBBundle, ctx: Context,
                 e.is_coreference = False
                 disambiguate_without_context(e, kb, text, register, lang)
                 disambiguate_with_context(e, kb, ctx, register)
-        if e.has_preferred_sense():
+        if e.preferred_sense:
             ctx.update(e)
 
 
@@ -634,15 +724,22 @@ def resolve_coreferences(entities: list[Mention], kb: KBBundle, ctx: Context,
 # relational filters (ner.py:161-174, 484-573)
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=64)
+def _proper_noun_rx(preps_set: frozenset) -> "re.Pattern":
+    preps = "".join(r"| {}".format(re.escape(p)) for p in sorted(preps_set))
+    return re.compile(
+        r"(?<!\. |\? |! |: |\s{2})[A-Z][A-Za-z'\-]*( [A-Z][A-Za-z'\-]*"
+        + preps + r")* [A-Z][A-Za-z'\-]*")
+
+
 def find_proper_nouns(text: str, list_titles: set[str] = frozenset(),
                       preps_set: frozenset = None) -> list[tuple[int, int]]:
     """ner.py:161-174."""
     if preps_set is None:
         preps_set = EN.proper_nouns_preps
-    preps = "".join(r"| {}".format(re.escape(p)) for p in sorted(preps_set))
-    rx = re.compile(
-        r"(?<!\. |\? |! |: |\s{2})[A-Z][A-Za-z'\-]*( [A-Z][A-Za-z'\-]*"
-        + preps + r")* [A-Z][A-Za-z'\-]*")
+    rx = _proper_noun_rx(preps_set)
+    if not list_titles:  # the first-word title probe can never fire
+        return [pn.span() for pn in rx.finditer(text) if pn.start() != 0]
     out = []
     for pn in rx.finditer(text):
         fields = pn.group(0).split()
@@ -761,14 +858,18 @@ def remove_nearby_entities(entities: list[Mention], kb: KBBundle, text: str,
     """ner.py:549-573 — adjacent same-type person/location pairs dropped.
     NB the reference wraps get_ent_type in a 1-element set, so the
     {'person','location'} test is EQUALITY with the full type string."""
+    pronouns = lang.pronouns
     for i in range(1, len(entities)):
         ent, bef = entities[i], entities[i - 1]
-        if ent.has_preferred_sense() and ent.source_lower not in lang.pronouns:
-            if bef.has_preferred_sense() and bef.source_lower not in lang.pronouns:
-                if re.search("^[ ]+$", text[bef.end:ent.start]):
-                    t1 = {kb.get_ent_type(ent.get_preferred_sense())}
-                    t2 = {kb.get_ent_type(bef.get_preferred_sense())}
-                    if {"person", "location"} & (t1 & t2):
+        if ent.preferred_sense and ent.source_lower not in pronouns:
+            if bef.preferred_sense and bef.source_lower not in pronouns:
+                if _ALL_SPACES_RE.search(text[bef.end:ent.start]):
+                    # the reference wraps each type in a 1-element set, so
+                    # {'person','location'} & (t1 & t2) is EQUALITY of the
+                    # full type strings + membership — rewritten directly
+                    t1 = kb.get_ent_type(ent.get_preferred_sense())
+                    if t1 in ("person", "location") \
+                            and kb.get_ent_type(bef.get_preferred_sense()) == t1:
                         ent.next_to_same_type = True
                         bef.next_to_same_type = True
     return [e for e in entities if not e.next_to_same_type]
@@ -934,13 +1035,14 @@ def resolve_document(
     global_senses: set[int] = set()
     figa_entities: list[Mention] = []
     people_named = kb.people_named
+    nationality_forms = kb.nationality_forms
     for ids, start, end, fragment in matches:
         m = Mention(start, end, fragment, ids)
         global_senses.update(m.senses)
-        if not m.senses and m.source in kb.nationality_forms:
+        if not m.senses and m.source in nationality_forms:
             m.is_nationality = True  # entity.py:80-83
         m.partial_match_senses = people_named(
-            remove_accent_unicode(m.source).lower())  # already a frozenset
+            _deaccent_lower(m.source))  # already a frozenset
         figa_entities.append(m)
 
     for e in figa_entities:  # ner.py:627-628
