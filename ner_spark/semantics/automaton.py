@@ -128,17 +128,21 @@ class GazetteerAutomaton:
         return atm
 
     def add(self, key: str, ids: Iterable[int]) -> None:
-        """Add a namelist key.
+        """Add a namelist key, BYTE-FAITHFUL in its inter-word gaps.
 
-        NOTE (deliberate divergence, documented): keys are tokenized and
-        re-joined with canonical separators, so a key with irregular
-        whitespace (double space, tab) matches single-space text, where the
-        reference's byte-trie stores key bytes verbatim and such a key could
-        never match.  Our namelist builder normalizes whitespace before
-        calling this (build_namelist: ``re.sub(r"\\s+", " ", key)``), so the
-        two behaviours coincide on every key the pipeline produces; only
-        hand-fed irregular keys differ (they become matchable here,
-        unmatchable there).  ``n_keys`` counts post-collapse keys."""
+        The stored path joins the key's words with the RAW gap text between
+        them.  ``scan`` only ever constructs candidate paths with canonical
+        separators ("" for adjacent words, " " for any whitespace run —
+        the reference consumes one delimiter per break,
+        figa_cedar.tpp:986-1003), so a key with an irregular gap (double
+        space, tab) can never match — exactly the reference byte-trie's
+        behaviour (figa stores key bytes verbatim).  Whitespace
+        normalization is the NAMELIST BUILDER's job (build_namelist:
+        ``re.sub(r"\\s+", " ", key)``), not the automaton's; every key the
+        pipeline produces is already canonical.  Remaining documented
+        divergence: leading/trailing key whitespace is dropped by
+        tokenization (the reference would store it → unmatchable), and
+        keys containing a strong delimiter (\\n/\\r) are rejected outright."""
         words = tokenize(key)
         if not words:
             return
@@ -149,7 +153,7 @@ class GazetteerAutomaton:
         parts = [path]
         for w0, w1 in zip(words, words[1:]):
             self.prefixes.add("".join(parts))
-            parts.append(w0.sep)  # type: ignore[arg-type]
+            parts.append(key[w0.end:w1.start])  # raw gap, byte-faithful
             parts.append(w1.text)
         self.keys["".join(parts)] = tuple(ids)
 

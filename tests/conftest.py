@@ -48,3 +48,8 @@ def sf_dir():
     if not os.path.isdir(d):
         pytest.skip(f"testdata dir {d} not present")
     return d
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: end-to-end smoke tests (spark-submit subprocess)")

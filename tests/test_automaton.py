@@ -108,3 +108,20 @@ def test_reflexive_roundtrip(artifacts):
         assert ms[0].ids == ids, key
         n += 1
     assert n == atm.n_keys and n > 100
+
+
+def test_irregular_whitespace_key_is_unmatchable():
+    """Byte-faithful key storage: a hand-fed key with a double space (or
+    tab) can never match — scan only builds canonical ""/" " separators —
+    mirroring the reference byte-trie, which stores key bytes verbatim.
+    The pipeline never produces such keys (build_namelist collapses
+    whitespace), so the canonical variant of the same surface matches."""
+    atm = build(("New  York", (1,)), ("Old\tTown", (2,)), ("New Deal", (3,)))
+    # neither canonical nor raw text forms can reach the irregular keys
+    for text in ("New York", "New  York", "Old Town", "Old\tTown",
+                 "visit New   York now"):
+        assert [m for m in atm.scan(text) if 1 in m.ids or 2 in m.ids] == []
+    # a canonical key still matches text with ANY whitespace run (the
+    # scan side collapses delimiter runs, figa_cedar.tpp:986-1003)
+    assert [(m.start, m.end) for m in atm.scan("a New  Deal b")] == [(2, 11)]
+    assert atm.scan("New Deal")[0].ids == (3,)
