@@ -47,6 +47,8 @@ HEADLINE = [
     "decontaminate", "text_repetition", "quality_filter", "warc_source",
     "order_window_shipments", "priority_pivot", "sql_udf_sanitize",
     "event_props_json", "event_value_quantiles",
+    # round-3 additions (salted_join already listed beside salted_count)
+    "dedup_clusters", "pack_sequences", "source_quota",
 ]
 
 

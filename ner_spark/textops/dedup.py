@@ -351,3 +351,35 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
         .dropDuplicates(["id1", "id2"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(df: DataFrame, block_col: str | None = "source",
+                   threshold: float = 0.5,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Full corpus dedup verdict: near-dup pairs → connected components →
+    one canonical keeper per cluster (min doc id), every document labeled.
+
+    → (doc_id, canonical_id, is_kept): ``canonical_id`` is the smallest
+    doc id reachable through Jaccard-≥threshold pairs (singletons map to
+    themselves); ``is_kept == (doc_id == canonical_id)`` is the keep/drop
+    decision a training-data pipeline applies after near-dup detection.
+
+    Composition of the scale plans: LSH-candidates + exact-verify pairs
+    (:func:`lsh_jaccard_pairs`) and the hybrid driver/pointer-jumping CC
+    (``pipeline.cc.connected_components``); the corpus join back is on the
+    doc id.  The cluster graph is pairs-only (corpus-sized in the worst
+    case, tiny in practice), never the documents."""
+    from ner_spark.pipeline.cc import connected_components
+
+    pairs = lsh_jaccard_pairs(df, block_col=block_col, threshold=threshold,
+                              id_col=id_col, text_col=text_col)
+    cc = connected_components(
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")))
+    docs = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    return (
+        docs.join(cc, docs.doc_id == cc.node, "left")
+        .select("doc_id",
+                F.coalesce("component", "doc_id").alias("canonical_id"))
+        .withColumn("is_kept", F.col("doc_id") == F.col("canonical_id"))
+    )

@@ -49,20 +49,30 @@ def test_no_oracle_projects_hugeint_or_decimal(con):
         f"BIGINT/DOUBLE)): {bad}")
 
 
+# Oracle-backed queries allowed OUTSIDE the driver's 50-entry window: their
+# oracle SQL is byte-identical to embed_knn's (degenerate configs — one
+# bucket / full probe ≡ brute force), so the driver already validates that
+# SQL, and the degenerate-equality is pytest-pinned (test_ann/test_ivf).
+_REDUNDANT_ORACLE_OK = {"embed_lsh_full", "embed_ivf_full"}
+
+
 def test_every_oracle_has_a_query_and_matching_order():
     qs = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
     # every oracle key must be a real query
     assert set(oracles) <= set(qs)
-    # the driver checks only the first 50 queries() entries: every
+    # the driver checks only the first 50 queries() entries: every DISTINCT
     # oracle-backed query must sit inside that window
-    outside = [n for n in qs[50:] if n in oracles]
+    outside = [n for n in qs[50:]
+               if n in oracles and n not in _REDUNDANT_ORACLE_OK]
     assert not outside, f"oracle-backed queries past entry 50: {outside}"
-    # and rows-only queries must not displace oracle-backed ones
-    n_oracle = len(oracles)
-    assert qs[:n_oracle] == [n for n in qs if n in oracles][:n_oracle] or \
-        all(n in oracles for n in qs[:n_oracle]), (
-            "rows-only queries interleaved before oracle-backed ones")
+    # the parked queries must really be redundant: same SQL as embed_knn
+    for n in _REDUNDANT_ORACLE_OK & set(qs[50:]):
+        assert oracles[n] == oracles["embed_knn"], n
+    # and the first 50 entries must all be oracle-backed (no rows-only
+    # query may displace one)
+    assert all(n in oracles for n in qs[:min(50, len(oracles))]), (
+        "rows-only queries interleaved before oracle-backed ones")
 
 
 def test_oracle_matches_spark_columns(con, spark, sf_dir):

@@ -1,0 +1,85 @@
+"""Sequence packing, dedup clustering, and source quota operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_spark.textops.pack import pack_sequences
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    # single bucket (n_buckets=1): token counts 3,4,5,10,2 with capacity 8
+    # → [3,4] | [5] | [10] | [2]  (greedy, overflow starts a new sequence,
+    # oversized doc occupies its own)
+    rows = [(i, "s", " ".join(["w"] * n))
+            for i, n in enumerate([3, 4, 5, 10, 2])]
+    out = {r.doc_id: (r.seq, r.offset, r.n_tokens)
+           for r in pack_sequences(_docs(spark, rows), capacity=8,
+                                   n_buckets=1).collect()}
+    assert out == {0: (0, 0, 3), 1: (0, 3, 4), 2: (1, 0, 5),
+                   3: (2, 0, 10), 4: (3, 0, 2)}
+
+
+def test_pack_sequences_never_overflows_capacity(spark):
+    import random
+    rng = random.Random(11)
+    rows = [(i, "s", " ".join(["w"] * rng.randint(1, 40)))
+            for i in range(200)]
+    cap = 64
+    out = pack_sequences(_docs(spark, rows), capacity=cap, n_buckets=4) \
+        .collect()
+    assert len(out) == 200
+    per_seq: dict = {}
+    for r in out:
+        per_seq.setdefault((r.bucket, r.seq), []).append(r)
+    for (_, _), members in per_seq.items():
+        total = sum(m.n_tokens for m in members)
+        if len(members) > 1:  # multi-doc sequences respect the capacity
+            assert total <= cap
+        # offsets are the running prefix in doc_id order
+        members.sort(key=lambda m: m.doc_id)
+        acc = 0
+        for m in members:
+            assert m.offset == acc
+            acc += m.n_tokens
+
+
+def test_dedup_clusters_labels_every_doc(spark):
+    from ner_spark.textops.dedup import dedup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, "s", base),
+        (2, "s", base + " iota"),          # near-dup of 1
+        (3, "s", base + " kappa"),         # near-dup of 1 and 2
+        (4, "s", "totally different words here nothing shared at all"),
+        (5, "t", base),                    # other block: no cross-block pair
+    ]
+    out = {r.doc_id: (r.canonical_id, r.is_kept)
+           for r in dedup_clusters(_docs(spark, rows), block_col="source",
+                                   threshold=0.5).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)
+    assert out[4] == (4, True)
+    assert out[5] == (5, True)  # blocking key scopes the pairs
+
+
+@pytest.mark.parametrize("m", [1, 3])
+def test_source_quota_shape(spark, sf_dir, m):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id"))
+    base = d.select("source", "doc_id",
+                    F.size(F.filter(F.split("text", " "),
+                                    lambda x: x != "")).alias("n_tokens"))
+    out = base.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= m)
+    per_src = out.groupBy("source").count().collect()
+    assert per_src and all(r["count"] <= m for r in per_src)
