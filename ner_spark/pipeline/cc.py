@@ -34,19 +34,21 @@ def _driver_union_find(spark, pairs) -> DataFrame:
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    rows = [(n, find(n)) for n in parent]
+    rows = [(int(n), int(find(n))) for n in parent]
     return spark.createDataFrame(rows or [], "node long, component long")
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iter: int = 40,
-                         driver_threshold: int = 200_000) -> DataFrame:
+                         driver_threshold: int = 2_000_000) -> DataFrame:
     """→ (node long, component long) with component = min node id reachable.
 
     Hybrid: edge sets under ``driver_threshold`` are solved with a driver
-    union-find (the alias/redirect graph is KB-sized — tiny next to the
-    corpus — and the iterative loop's ~2·rounds Spark jobs dominate its
-    runtime there); larger graphs run the distributed pointer-jumping loop.
+    union-find (the alias/redirect and near-dup-pair graphs are PAIR-sized
+    — tiny next to the corpus — and the iterative loop's ~2·rounds Spark
+    jobs dominate its runtime there); larger graphs run the distributed
+    pointer-jumping loop.  2M edges ≈ 32 MB driver-side — the probe is a
+    bounded ``limit(threshold+1)`` collect, never an unbounded pull.
     Raises RuntimeError if ``max_iter`` rounds do not converge (2^40-diameter
     graphs do not occur in practice; silent truncation would corrupt the
     canonical mapping).
@@ -54,12 +56,23 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     e = edges.select(F.col(src).cast("long").alias("src"),
                      F.col(dst).cast("long").alias("dst")).filter("src <> dst")
     if driver_threshold:
-        head = e.limit(driver_threshold + 1).collect()
-        if len(head) <= driver_threshold:
-            return _driver_union_find(edges.sparkSession,
-                                      [(r.src, r.dst) for r in head])
+        # size probe + (maybe) gather, both PARALLEL: the edge pipeline is
+        # computed once into the cache by the count; the driver path then
+        # Arrow-collects from cache.  A limit(N).collect() probe would
+        # funnel the whole edge set through one CollectLimit task as Row
+        # objects — measurably slower than recomputing at ~400k edges.
+        e = e.persist()
+        n_edges = e.count()
+        if n_edges <= driver_threshold:
+            pdf = e.toPandas()
+            e.unpersist()
+            return _driver_union_find(
+                edges.sparkSession,
+                zip(pdf["src"].to_list(), pdf["dst"].to_list()))
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     sym = sym.localCheckpoint()
+    if driver_threshold:
+        e.unpersist()
     labels = (
         sym.select(F.col("src").alias("node"))
         .union(sym.select(F.col("dst").alias("node")))
