@@ -117,9 +117,8 @@ def extract_mentions(pages: DataFrame, artifacts: KBArtifacts,
                            for m in atm.scan(scan_text)]
                 for r in resolve_document(text, matches, bundle,
                                           find_names=find_names,
-                                          lang=lang_mod):
-                    rows.append((url, r["start"], r["end"], r["par"], r["kind"],
-                                 r["text"], r["sense"], r["iso"], r["confidence"]))
+                                          lang=lang_mod, as_tuples=True):
+                    rows.append((url,) + r)
             yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(fn, schema=MENTION_SCHEMA)

@@ -1022,7 +1022,8 @@ def resolve_document(
     mode: str = "default",
     lang: LangModule = EN,
     split_interval: bool = True,
-) -> list[dict]:
+    as_tuples: bool = False,
+) -> list:
     """Run stages b-k on one (sanitized) document.
 
     ``matches``: automaton output — (ids, start, end, fragment) in emission
@@ -1030,7 +1031,16 @@ def resolve_document(
     ``{start, end, kind: kb|coref|date, text, sense, iso, confidence}``
     mirroring the reference's output line (entity.py:357-388, dates:
     Date.__str__).
+
+    ``as_tuples=True`` returns the same rows as positional 8-tuples
+    ``(start, end, par, kind, text, sense, iso, confidence)`` instead of
+    dicts — the shape the Spark UDF flattens to anyway (pipeline/ner.py);
+    only ``mode='default'`` supports it (score/-a carry extra cand
+    fields).  Field-for-field equality with the dict form is pinned in
+    tests/test_resolve.py.
     """
+    if as_tuples and mode != "default":
+        raise ValueError("as_tuples supports mode='default' only")
     register = Register()
     global_senses: set[int] = set()
     figa_entities: list[Mention] = []
@@ -1125,6 +1135,28 @@ def resolve_document(
             or (not e.is_coreference and e.senses) or e.is_name]
 
     out = []
+    if as_tuples:  # hot path (mode == 'default' guaranteed above)
+        for e in entities_and_dates:
+            par = paragraphs[bisect_right(paragraphs, e.start) - 1]
+            if type(e) is DateMatch:
+                if e.iso_to is not None:
+                    out.append((e.start, e.end, par, "interval", e.source,
+                                None, f"{e.iso.iso()} -- {e.iso_to.iso()}",
+                                e.confidence))
+                else:
+                    out.append((e.start, e.end, par, "date", e.source,
+                                None, e.iso.iso(), e.confidence))
+            else:
+                kind = "coref" if e.is_coreference else (
+                    "name" if e.is_name else "kb")
+                sense = e.get_preferred_sense()
+                if e.is_name and sense is None and e.senses:
+                    sense = e.senses[0]
+                out.append((e.start, e.end, par, kind,
+                            text[e.start:e.end].replace("\n", " ")
+                                               .replace("\r", ""),
+                            sense, None, None))
+        return out
     for e in entities_and_dates:
         par = paragraphs[bisect_right(paragraphs, e.start) - 1]
         if isinstance(e, DateMatch):

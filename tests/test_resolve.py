@@ -446,3 +446,31 @@ def test_name_merge_empty_entity_list_drops_names():
     ed = []
     new = _names_for(text, ed)
     assert ed == []  # nothing inserted
+
+
+def test_as_tuples_matches_dict_rows(kb_rows, pages_rows):
+    """The tuple fast path must be field-for-field identical to the dict
+    contract on the 8 core fields, across fixture docs incl. find_names."""
+    from ner_spark.semantics.automaton import GazetteerAutomaton
+    from ner_spark.semantics.kb import KBBundle, build_namelist
+    from ner_spark.semantics.resolve import resolve_document
+
+    bundle = KBBundle.from_rows(kb_rows)
+    atm = GazetteerAutomaton.build(build_namelist(bundle).items())
+    fields = ("start", "end", "par", "kind", "text", "sense", "iso",
+              "confidence")
+    n_rows = 0
+    for page in pages_rows[:40]:
+        text = page["text"]
+        matches = [(m.ids, m.start, m.end, m.fragment)
+                   for m in atm.scan(text)]
+        for fn in (False, True):
+            dicts = resolve_document(text, matches, bundle, find_names=fn)
+            tups = resolve_document(text, matches, bundle, find_names=fn,
+                                    as_tuples=True)
+            assert [tuple(d[f] for f in fields) for d in dicts] == tups
+            n_rows += len(tups)
+    assert n_rows > 50
+    import pytest
+    with pytest.raises(ValueError):
+        resolve_document("x", [], bundle, mode="all", as_tuples=True)

@@ -69,7 +69,8 @@ def run(bundle, atm, texts, resolve: bool) -> tuple[float, int, int]:
         ms = atm.scan(text)
         if resolve:
             matches = [(m.ids, m.start, m.end, m.fragment) for m in ms]
-            n_out += len(resolve_document(text, matches, bundle, lang=lang))
+            n_out += len(resolve_document(text, matches, bundle, lang=lang,
+                                          as_tuples=True))
         else:
             n_out += len(ms)
     return time.perf_counter() - t0, n_chars, n_out
