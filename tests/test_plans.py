@@ -114,3 +114,15 @@ def test_window_single_shuffle(spark, sf_dir):
 
     plan = _plan(e.q_top_order_per_customer(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pack_and_quota_single_shuffle(spark, sf_dir):
+    """pack_sequences and source_quota are one-shuffle plans: one Exchange
+    (bucket / source key) and no cartesian anywhere."""
+    import __spark_entry__ as entrymod
+
+    for q in ("pack_sequences", "source_quota"):
+        plan = entrymod.queries()[q](spark, sf_dir) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, q
+        assert "CartesianProduct" not in plan, q
