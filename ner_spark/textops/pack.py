@@ -26,6 +26,24 @@ from pyspark.sql import functions as F
 from .analysis import tokens_col
 
 
+def greedy_pack(counts: list, capacity: int) -> tuple[list, list]:
+    """The sequential fold: → (seq index, offset) per input, in order.
+    A new sequence starts when adding the next count would overflow a
+    NON-EMPTY sequence; an oversized count occupies a sequence alone.
+    Property-tested in tests/test_pack.py (hypothesis)."""
+    seqs, offs = [], []
+    acc = 0
+    seq = 0
+    for n in counts:
+        if acc > 0 and acc + n > capacity:
+            seq += 1
+            acc = 0
+        offs.append(acc)
+        seqs.append(seq)
+        acc += n
+    return seqs, offs
+
+
 def pack_sequences(docs: DataFrame, capacity: int = 512, n_buckets: int = 8,
                    id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
@@ -38,16 +56,7 @@ def pack_sequences(docs: DataFrame, capacity: int = 512, n_buckets: int = 8,
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
-        seqs, offs = [], []
-        acc = 0
-        seq = 0
-        for n in pdf["n_tokens"].to_list():
-            if acc > 0 and acc + n > capacity:
-                seq += 1
-                acc = 0
-            offs.append(acc)
-            seqs.append(seq)
-            acc += n
+        seqs, offs = greedy_pack(pdf["n_tokens"].to_list(), capacity)
         pdf["seq"] = pd.Series(seqs, dtype="int64")
         pdf["offset"] = pd.Series(offs, dtype="int64")
         return pdf

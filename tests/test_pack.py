@@ -83,3 +83,41 @@ def test_source_quota_shape(spark, sf_dir, m):
         F.col("rk") <= m)
     per_src = out.groupBy("source").count().collect()
     assert per_src and all(r["count"] <= m for r in per_src)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=50), max_size=60),
+       st.integers(min_value=1, max_value=30))
+def test_greedy_pack_invariants(counts, capacity):
+    from ner_spark.textops.pack import greedy_pack
+
+    seqs, offs = greedy_pack(counts, capacity)
+    assert len(seqs) == len(offs) == len(counts)
+    per_seq: dict = {}
+    for n, s, o in zip(counts, seqs, offs):
+        per_seq.setdefault(s, []).append((o, n))
+    prev = -1
+    for s in sorted(per_seq):
+        assert s == prev + 1  # sequence ids are dense, in order
+        prev = s
+        items = per_seq[s]
+        acc = 0
+        for o, n in items:  # offsets are the running prefix
+            assert o == acc
+            acc += n
+            # the no-overflow contract: an item appended to a non-empty
+            # prefix fits (zero-offset items may exceed capacity alone —
+            # incl. after zero-count docs, which never "open" a sequence)
+            if o > 0:
+                assert o + n <= capacity
+    # greediness: an item never starts a new sequence it could have
+    # avoided — if item i opens sequence s>0, then placing it at the end
+    # of s-1 would have overflowed (or s-1 was "closed" by construction)
+    for i in range(len(counts)):
+        if i and seqs[i] != seqs[i - 1]:
+            prev_total = offs[i - 1] + counts[i - 1]
+            assert prev_total + counts[i] > capacity
