@@ -645,6 +645,19 @@ def q_embed_lsh_near_dup(spark, sf_dir):  # rows-only (driver)
                               threshold=0.4, bits=4)
 
 
+def q_embed_kmeans(spark, sf_dir):  # rows-only (iterative float fixpoint)
+    """Distributed Lloyd over the full embeddings table (3 iterations,
+    deterministic smallest-id init), then per-cluster sizes + mean
+    distance.  Verified against an exact numpy Lloyd in tests/test_kmeans."""
+    from ner_spark.similarity.kmeans import kmeans_assign, kmeans_fit
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = kmeans_fit(emb, k=8, n_iter=3)
+    return (kmeans_assign(emb, cent)
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.round(F.avg("dist"), 4).alias("mean_dist")))
+
+
 def q_warc_source(spark, sf_dir):
     """Common-Crawl-layout WARC ingest: binaryFile → gzip member split →
     WARC/HTTP parse → response filter → extracted text (S-family source;
@@ -738,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh": q_embed_lsh,
         "embed_ivf": q_embed_ivf,
         "embed_lsh_near_dup": q_embed_lsh_near_dup,
+        "embed_kmeans": q_embed_kmeans,
     }
 
 

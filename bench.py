@@ -48,7 +48,7 @@ HEADLINE = [
     "order_window_shipments", "priority_pivot", "sql_udf_sanitize",
     "event_props_json", "event_value_quantiles",
     # round-3 additions (salted_join already listed beside salted_count)
-    "dedup_clusters", "pack_sequences", "source_quota",
+    "dedup_clusters", "pack_sequences", "source_quota", "embed_kmeans",
 ]
 
 
