@@ -114,7 +114,7 @@ class GazetteerAutomaton:
     def __init__(self) -> None:
         self.keys: dict[str, tuple[int, ...]] = {}   # path → ids
         self.prefixes: set[str] = set()              # word-boundary prefixes
-        self.first: dict[str, bool] = {}             # key-initial words
+        self.first: set[str] = set()                 # key-initial words
 
     @property
     def n_keys(self) -> int:
@@ -149,7 +149,7 @@ class GazetteerAutomaton:
         if any(w.sep is None for w in words[:-1]):
             return  # key contains a strong delimiter → unmatchable
         path = words[0].text
-        self.first[path] = True
+        self.first.add(path)
         parts = [path]
         for w0, w1 in zip(words, words[1:]):
             self.prefixes.add("".join(parts))
