@@ -645,6 +645,21 @@ def q_embed_lsh_near_dup(spark, sf_dir):  # rows-only (driver)
                               threshold=0.4, bits=4)
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The composed curation verdict (quality gates ∧ dedup-canonical ∧
+    ¬contaminated) over every corpus doc — textops.curate.curate.  Oracle
+    = the three stage oracles joined; parked outside the driver's 50-entry
+    window (each stage is independently driver-checked in-window), checked
+    by tools/check_contract.py and tests locally."""
+    from ner_spark.textops.curate import curate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return curate(corpus, bench).withColumn(
+        "n_tokens", F.col("n_tokens").cast("long"))
+
+
 def q_embed_kmeans(spark, sf_dir):  # rows-only (iterative float fixpoint)
     """Distributed Lloyd over the full embeddings table (3 iterations,
     deterministic smallest-id init), then per-cluster sizes + mean
@@ -738,11 +753,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "warc_source": q_warc_source,
         "multimodal_features": q_multimodal_features,
-        # ---- oracle-backed but REDUNDANT with embed_knn's oracle (same
-        # SQL text; degenerate-config ≡ brute force is pytest-pinned) —
-        # parked outside the driver's 50-entry window ----
+        # ---- oracle-backed but REDUNDANT with in-window checks — parked
+        # outside the driver's 50-entry window (embed_*_full: oracle SQL
+        # byte-identical to embed_knn's, degenerate-config ≡ brute force
+        # pytest-pinned; curate_corpus: a join of the three stage oracles
+        # that ARE in-window) ----
         "embed_lsh_full": q_embed_lsh_full,
         "embed_ivf_full": q_embed_ivf_full,
+        "curate_corpus": q_curate_corpus,
         # ---- rows-only (approximate/iterative by design; no oracle) ----
         "distinct_users_hll": q_distinct_users_hll,
         "kgc_pagerank": q_kgc_pagerank,
@@ -1313,6 +1331,64 @@ def oracle_sql() -> dict[str, str]:
                             THEN o.n_tokens ELSE w.acc + o.n_tokens END
                 FROM walk w JOIN o ON o.bucket = w.bucket AND o.rn = w.rn + 1)
             SELECT bucket, doc_id, n_tokens, seq, off AS offset FROM walk
+        """,
+        "curate_corpus": f"""
+            WITH RECURSIVE
+              corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+              tq AS (SELECT doc_id, text,
+                            list_filter(string_split(text,' '), x -> x <> '') AS toks
+                     FROM corpus),
+              q AS (SELECT doc_id,
+                           CAST(len(toks) AS BIGINT) AS n_tokens,
+                           (len(toks) BETWEEN 20 AND 100000
+                            AND round(CAST(len(list_filter(toks, x -> x IN ({_STOPWORDS_SQL}))) AS DOUBLE)
+                                      / greatest(len(toks), 1), 4) >= 0.01
+                            AND round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                                      / greatest(length(text), 1), 4) >= 0.6) AS quality_ok
+                    FROM tq),
+              t AS (SELECT doc_id, source,
+                           list_distinct(list_filter(string_split(text,' '),
+                                                     x -> x <> '')) AS toks
+                    FROM corpus),
+              p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+                    FROM t a JOIN t b ON a.source = b.source
+                                     AND a.doc_id < b.doc_id
+                    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                          / (len(a.toks) + len(b.toks)
+                             - len(list_intersect(a.toks, b.toks))) >= 0.5),
+              ef AS (SELECT DISTINCT id1 AS src, id2 AS dst FROM p),
+              sym AS (SELECT src, dst FROM ef UNION SELECT dst, src FROM ef),
+              nodes AS (SELECT DISTINCT src AS node FROM sym),
+              walk(node, comp) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node),
+              cc AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+              dd AS (SELECT d.doc_id,
+                            coalesce(cc.component, d.doc_id) AS canonical_id,
+                            coalesce(cc.component, d.doc_id) = d.doc_id AS is_canonical
+                     FROM corpus d LEFT JOIN cc ON d.doc_id = cc.node),
+              sh AS (SELECT doc_id,
+                            list_distinct([array_to_string(toks[i:i+3], ' ')
+                                           FOR i IN range(1, greatest(len(toks)-3, 1)+1)]) AS s
+                     FROM (SELECT doc_id,
+                                  list_filter(string_split(text,' '), x -> x <> '') AS toks
+                           FROM documents)),
+              bench AS (SELECT DISTINCT unnest(s) AS g FROM sh
+                        WHERE doc_id % 97 = 0),
+              hits AS (SELECT doc_id, count(*) AS n_hits
+                       FROM (SELECT doc_id, unnest(s) AS g FROM sh
+                             WHERE doc_id % 97 <> 0) c
+                       JOIN bench USING (g) GROUP BY doc_id),
+              ct AS (SELECT c.doc_id,
+                            coalesce(h.n_hits, 0) > 0 AS contaminated
+                     FROM corpus c LEFT JOIN hits h USING (doc_id))
+            SELECT q.doc_id, q.n_tokens, q.quality_ok,
+                   dd.canonical_id, dd.is_canonical, ct.contaminated,
+                   (q.quality_ok AND dd.is_canonical
+                    AND NOT ct.contaminated) AS keep
+            FROM q JOIN dd ON q.doc_id = dd.doc_id
+                   JOIN ct ON q.doc_id = ct.doc_id
         """,
         "source_quota": """
             SELECT source, doc_id, n_tokens, rk FROM (

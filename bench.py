@@ -49,6 +49,7 @@ HEADLINE = [
     "event_props_json", "event_value_quantiles",
     # round-3 additions (salted_join already listed beside salted_count)
     "dedup_clusters", "pack_sequences", "source_quota", "embed_kmeans",
+    "curate_corpus",
 ]
 
 

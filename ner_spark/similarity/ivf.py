@@ -79,10 +79,17 @@ def assign_centroids(df: DataFrame, centroids: np.ndarray,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, nprobe: int = 4, n_iter: int = 10,
              seed: int = 42, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """(query_id, neighbor_id, cosine, rank) over the probed lists only."""
-    cent = train_centroids(corpus, n_centroids, n_iter, seed=seed,
-                           id_col=id_col, vec_col=vec_col)
+             vec_col: str = "embedding",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) over the probed lists only.
+
+    ``centroids`` overrides the sample-trained index — pass e.g.
+    ``similarity.kmeans.kmeans_fit(corpus, k)`` for a full-corpus-trained
+    IVF (equality of the two trainers on a well-separated corpus is
+    exercised in tests/test_kmeans.py / tests/test_ivf.py)."""
+    cent = centroids if centroids is not None else train_centroids(
+        corpus, n_centroids, n_iter, seed=seed,
+        id_col=id_col, vec_col=vec_col)
     corpus_assign = assign_centroids(corpus, cent, id_col, vec_col) \
         .withColumnRenamed(id_col, "neighbor_id")
     query_probes = assign_centroids(queries, cent, id_col, vec_col,

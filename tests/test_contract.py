@@ -49,11 +49,14 @@ def test_no_oracle_projects_hugeint_or_decimal(con):
         f"BIGINT/DOUBLE)): {bad}")
 
 
-# Oracle-backed queries allowed OUTSIDE the driver's 50-entry window: their
-# oracle SQL is byte-identical to embed_knn's (degenerate configs — one
-# bucket / full probe ≡ brute force), so the driver already validates that
-# SQL, and the degenerate-equality is pytest-pinned (test_ann/test_ivf).
-_REDUNDANT_ORACLE_OK = {"embed_lsh_full", "embed_ivf_full"}
+# Oracle-backed queries allowed OUTSIDE the driver's 50-entry window:
+#  * embed_*_full: oracle SQL byte-identical to embed_knn's (degenerate
+#    configs — one bucket / full probe ≡ brute force), so the driver
+#    already validates that SQL; the degenerate-equality is pytest-pinned.
+#  * curate_corpus: a join of the three stage oracles (quality_filter,
+#    dedup_clusters, decontaminate) that ARE checked in-window.
+_SAME_AS_KNN = {"embed_lsh_full", "embed_ivf_full"}
+_REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {"curate_corpus"}
 
 
 def test_every_oracle_has_a_query_and_matching_order():
@@ -66,8 +69,9 @@ def test_every_oracle_has_a_query_and_matching_order():
     outside = [n for n in qs[50:]
                if n in oracles and n not in _REDUNDANT_ORACLE_OK]
     assert not outside, f"oracle-backed queries past entry 50: {outside}"
-    # the parked queries must really be redundant: same SQL as embed_knn
-    for n in _REDUNDANT_ORACLE_OK & set(qs[50:]):
+    # the parked embed queries must really be redundant: same SQL as
+    # embed_knn
+    for n in _SAME_AS_KNN & set(qs[50:]):
         assert oracles[n] == oracles["embed_knn"], n
     # and the first 50 entries must all be oracle-backed (no rows-only
     # query may displace one)

@@ -58,3 +58,19 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     cent = kmeans_fit(df, k=2, n_iter=3)
     assert cent.shape == (2, 2)
     assert np.isfinite(cent).all()
+
+
+def test_ivf_with_kmeans_centroids_full_probe_is_exact(spark):
+    """IVF accepts externally trained centroids; at nprobe == k it is
+    exactly brute force regardless of the trainer."""
+    from ner_spark.similarity.ann import brute_force_topk
+    from ner_spark.similarity.ivf import ivf_topk
+    from ner_spark.similarity.kmeans import kmeans_fit
+
+    df, _ = _embeddings(spark, n=120)
+    cent = kmeans_fit(df, k=4, n_iter=2)
+    q = df.filter("vec_id < 5")
+    got = sorted(map(tuple, ivf_topk(df, q, k=3, nprobe=4,
+                                     centroids=cent).collect()))
+    want = sorted(map(tuple, brute_force_topk(df, q, k=3).collect()))
+    assert got == want

@@ -121,3 +121,30 @@ def test_greedy_pack_invariants(counts, capacity):
         if i and seqs[i] != seqs[i - 1]:
             prev_total = offs[i - 1] + counts[i - 1]
             assert prev_total + counts[i] > capacity
+
+
+def test_curate_cross_stage_semantics(spark):
+    """Canonical selection runs on the FULL corpus: a quality-rejected
+    canonical must NOT promote its near-dup twin to kept — the twin stays
+    non-canonical and is dropped too."""
+    from ner_spark.textops.curate import curate
+
+    good = ("the quick brown fox jumps over the lazy dog and keeps going "
+            "with many more plain english words to pass the gates " * 2)
+    rows = [
+        (1, "s", good),                       # canonical, quality-ok → keep
+        (2, "s", good + " extra token"),      # near-dup of 1 → dropped
+        (3, "s", ";;; ### !!! @@@ 123"),      # quality-reject, unique
+        (10, "s", "the benchmark sentinel shingle alpha beta gamma delta "
+                  + good),                    # contaminated (shares 4-gram)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    bench = spark.createDataFrame(
+        [(99, "b", "the benchmark sentinel shingle alpha beta gamma delta")],
+        "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in curate(docs, bench, min_tokens=5).collect()}
+    assert out[1].keep and out[1].is_canonical and out[1].quality_ok
+    assert not out[2].keep and not out[2].is_canonical
+    assert out[2].canonical_id == 1
+    assert not out[3].keep and not out[3].quality_ok
+    assert not out[10].keep and out[10].contaminated
