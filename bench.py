@@ -47,9 +47,11 @@ HEADLINE = [
     "decontaminate", "text_repetition", "quality_filter", "warc_source",
     "order_window_shipments", "priority_pivot", "sql_udf_sanitize",
     "event_props_json", "event_value_quantiles",
-    # round-3 additions (salted_join already listed beside salted_count)
+    # round-3 additions (salted_join already listed beside salted_count).
+    # curate_corpus is deliberately NOT here: it is the composition of
+    # quality_filter + dedup_clusters + decontaminate, all benched above —
+    # timing it again would double-count the pair pipeline.
     "dedup_clusters", "pack_sequences", "source_quota", "embed_kmeans",
-    "curate_corpus",
 ]
 
 
