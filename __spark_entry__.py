@@ -645,6 +645,16 @@ def q_embed_lsh_near_dup(spark, sf_dir):  # rows-only (driver)
                               threshold=0.4, bits=4)
 
 
+def q_pii_scrub(spark, sf_dir):  # rows-only (exact re-oracle in pytest)
+    """PII masking pass (emails/IPv4/phones) over documents — pure
+    whole-stage-codegen regex (plan-asserted no-Python); per-doc category
+    counts.  Exactness vs Python `re` with the same patterns is pinned in
+    tests/test_pii.py."""
+    from ner_spark.textops.pii import scrub_pii
+    return scrub_pii(_t(spark, sf_dir, "documents")) \
+        .select("doc_id", "n_email", "n_ipv4", "n_phone", "has_pii")
+
+
 def q_curate_corpus(spark, sf_dir):
     """The composed curation verdict (quality gates ∧ dedup-canonical ∧
     ¬contaminated) over every corpus doc — textops.curate.curate.  Oracle
@@ -770,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf": q_embed_ivf,
         "embed_lsh_near_dup": q_embed_lsh_near_dup,
         "embed_kmeans": q_embed_kmeans,
+        "pii_scrub": q_pii_scrub,
     }
 
 
