@@ -15,10 +15,10 @@ module supplies the upstream step so a crawl can be taken end-to-end.
 
 from __future__ import annotations
 
-import gzip
 import html as _html
 import io
 import re
+import zlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,17 +55,31 @@ def html_to_text(raw: str) -> str:
 
 
 def _split_gzip_members(blob: bytes) -> bytes:
-    """Decompress possibly-multi-member gzip, else return as-is."""
-    if blob[:2] == b"\x1f\x8b":
-        out = io.BytesIO()
-        with gzip.GzipFile(fileobj=io.BytesIO(blob)) as gz:
-            while True:
-                chunk = gz.read(1 << 20)
-                if not chunk:
-                    break
-                out.write(chunk)
-        return out.getvalue()
-    return blob
+    """Decompress possibly-multi-member gzip, else return as-is.
+
+    Real crawl segments contain truncated/corrupt members (killed
+    fetchers, partial uploads); an executor task must SALVAGE the bytes
+    decompressed so far rather than die — whole records beyond the bad
+    member are lost with the standard stream semantics, never the task."""
+    if blob[:2] != b"\x1f\x8b":
+        return blob
+    # member-by-member via zlib (wbits=31 = one gzip member): GzipFile
+    # buffers across members inside one read() call and DISCARDS that
+    # buffer when the broken member raises — member granularity keeps
+    # every completed member.
+    out = io.BytesIO()
+    rest = blob
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(rest)
+        except zlib.error:
+            break  # corrupt member: keep prior members, drop the tail
+        if not d.eof:
+            break  # truncated member (no error, just incomplete)
+        out.write(chunk)
+        rest = d.unused_data
+    return out.getvalue()
 
 
 def parse_warc_records(blob: bytes) -> Iterator[dict]:

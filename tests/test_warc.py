@@ -72,3 +72,32 @@ def test_read_warc_to_pipeline(spark, artifacts, tmp_path):
     hits = [m for m in mentions if m.url == "http://a.example/"]
     assert any("Washington" in m.text for m in hits)
     assert not any(m.url == "http://b.example/" for m in mentions)
+
+
+def test_truncated_gzip_member_salvages_prefix():
+    """A truncated trailing gzip member must not raise: records from the
+    intact members are yielded, the broken tail is dropped."""
+    good1 = gzip.compress(_warc_record("http://a.example/", HTML))
+    good2 = gzip.compress(_warc_record("http://b.example/", HTML))
+    broken = gzip.compress(_warc_record("http://c.example/", HTML))[:40]
+    recs = list(parse_warc_records(good1 + good2 + broken))
+    assert [r["url"] for r in recs] == ["http://a.example/",
+                                       "http://b.example/"]
+
+
+def test_non_response_and_garbage_records_skipped():
+    blob = (_warc_record("http://req.example/", b"GET / HTTP/1.1",
+                         wtype="request")
+            + b"garbage bytes that are not a record at all\r\n"
+            + _warc_record("http://ok.example/", HTML)
+            + _warc_record("http://meta.example/", b"{}", wtype="metadata"))
+    recs = list(parse_warc_records(blob))
+    assert [r["url"] for r in recs] == ["http://ok.example/"]
+
+
+def test_bad_content_length_stops_without_raising():
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://x/\r\nContent-Length: NaN\r\n\r\nbody")
+    assert list(parse_warc_records(
+        _warc_record("http://first.example/", HTML) + bad)) != []
+    assert [r["url"] for r in parse_warc_records(bad)] == []
