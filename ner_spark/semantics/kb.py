@@ -192,6 +192,11 @@ class KBBundle:
     _name_arr: list = field(default_factory=list, repr=False)
     _gender_arr: list = field(default_factory=list, repr=False)
     _person_flag: list = field(default_factory=list, repr=False)
+    _ctx_kind: list = field(default_factory=list, repr=False)
+    _ctx_char: list = field(default_factory=list, repr=False)
+    _artist_flag: list = field(default_factory=list, repr=False)
+    _group_flag: list = field(default_factory=list, repr=False)
+    _person_sub: list = field(default_factory=list, repr=False)
 
     # -- reference accessor surface ------------------------------------
     def n_rows(self) -> int:
@@ -235,6 +240,64 @@ class KBBundle:
             pf = ("person", "person:artist", "person:fictional")
             self._person_flag = [t in pf for t in self.type_arr()]
         return self._person_flag
+
+    # context-dispatch precomputation for disambiguate_with_context
+    # (entity.py:227-245): the per-candidate branch tests only substrings
+    # of the frozen type string, so the branch taken is a pure function of
+    # the KB line — fold it into one int code + the quirk char.
+    CTX_GEO, CTX_PERSON, CTX_ORG, CTX_EVENT, CTX_CHAR, CTX_NONE = range(6)
+
+    def ctx_kind_arr(self) -> list:
+        """kind[line]: which context-percentile branch entity.py:227-245
+        takes for this type string (substring tests, in reference order)."""
+        if not self._ctx_kind:
+            kinds, chars = [], []
+            for t in self.type_arr():
+                if "geo" in t:
+                    k, c = self.CTX_GEO, ""
+                elif "person" in t:
+                    k, c = self.CTX_PERSON, ""
+                elif "organization" in t:
+                    k, c = self.CTX_ORG, ""
+                elif "event" in t:
+                    k, c = self.CTX_EVENT, ""
+                elif t:
+                    # the reference iterates chars and breaks on the first
+                    # one passing ch[:2] != "__" and ch != "__" — for a
+                    # 1-char ch both are always true, so it's t[0]
+                    k, c = self.CTX_CHAR, t[0]
+                else:
+                    k, c = self.CTX_NONE, ""
+                kinds.append(k)
+                chars.append(c)
+            self._ctx_kind = kinds
+            self._ctx_char = chars
+        return self._ctx_kind
+
+    def ctx_char_arr(self) -> list:
+        """char[line]: the single-char bucket key for CTX_CHAR lines."""
+        if not self._ctx_char:
+            self.ctx_kind_arr()
+        return self._ctx_char
+
+    def artist_flag_arr(self) -> list:
+        """flag[line] == 'artist' in type string (entity.py:146-149)."""
+        if not self._artist_flag:
+            self._artist_flag = ["artist" in t for t in self.type_arr()]
+        return self._artist_flag
+
+    def group_flag_arr(self) -> list:
+        """flag[line] == 'group' in type string (entity.py:146-149)."""
+        if not self._group_flag:
+            self._group_flag = ["group" in t for t in self.type_arr()]
+        return self._group_flag
+
+    def person_sub_flag_arr(self) -> list:
+        """flag[line] == 'person' in type string (substring, NOT the exact
+        tuple test of person_flag_arr)."""
+        if not self._person_sub:
+            self._person_sub = ["person" in t for t in self.type_arr()]
+        return self._person_sub
 
     def get_ent_type(self, line: int) -> str:
         """Type path STRING; all callers do substring tests (SURVEY §1.4.1)."""

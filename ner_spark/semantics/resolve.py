@@ -214,6 +214,10 @@ class Context:
         self._pp_static: dict = {}
         self._oe_cache: dict = {}
         self._cp_cache: dict = {}
+        # running per-paragraph total of the 'person' mention bucket — the
+        # bucket has exactly one writer (disambiguate_with_context's tail),
+        # which bumps this alongside, so total == sum(bucket.values())
+        self._person_total: dict[int, int] = {}
         # hot KB arrays pinned once per Context (update() runs per mention)
         self._tarr = kb.type_arr()
         self._garr = kb.gender_arr()
@@ -364,13 +368,14 @@ class Context:
                 prof_score = prof_score * 100.0 / len(self.people_professions[par])
             static = nat_score + date_score + prof_score
             self._pp_static[key] = static
-        # inline of mentioned_in_par([name], "person") — 1-element probe
+        # inline of mentioned_in_par([name], "person") — 1-element probe;
+        # denominator from the running total (== sum(bucket.values()))
         mention_score = 0.0
         bucket = self.mentions[par].get("person")
         if bucket:
             cnt = bucket.get(self.kb.name_arr()[candidate])
             if cnt:
-                mention_score = cnt * 100.0 / sum(bucket.values())
+                mention_score = cnt * 100.0 / self._person_total[par]
         result = (static + mention_score) / 4.0
         prev = self.people_max_scores.get(candidate)
         if prev is None or result > prev:
@@ -475,12 +480,13 @@ def disambiguate_without_context(m: Mention, kb: KBBundle, text: str,
     if lang.sense_rules:
         lang.sense_rules(m, kb, text)
 
-    tarr = kb.type_arr()
-
-    # artist → exclude groups (intended semantics; see module docstring)
+    # artist → exclude groups (intended semantics; see module docstring);
+    # substring tests folded into per-KB flag arrays
+    aflag = kb.artist_flag_arr()
     for s in m.senses:
-        if "artist" in tarr[s]:
-            m.senses = [x for x in m.senses if "group" not in tarr[x]]
+        if aflag[s]:
+            gflag = kb.group_flag_arr()
+            m.senses = [x for x in m.senses if not gflag[x]]
             break
 
     # verb + JOBS elimination (entity.py:151-185).  The sentence/verb scan
@@ -544,32 +550,33 @@ def disambiguate_with_context(m: Mention, kb: KBBundle, ctx: Context, register: 
     if m.is_coreference or not cands:
         return
     ctx.recompute_paragraph_offset(m.start)
-    tarr = kb.type_arr()
     sarr = kb.score_arr()
+    # branch choice is a pure function of the candidate's frozen type
+    # string — precomputed once per KB (ctx_kind_arr) instead of 4
+    # substring scans per candidate per mention
+    kinds = kb.ctx_kind_arr()
+    kchars = kb.ctx_char_arr()
+    K_PERSON, K_ORG, K_EVENT, K_CHAR = (KBBundle.CTX_PERSON, KBBundle.CTX_ORG,
+                                        KBBundle.CTX_EVENT, KBBundle.CTX_CHAR)
     score: list[float] = []
     static_score: list[float] = []
     context_score_l: list[float] = []
     poorly = m.poorly_disambiguated
     for c in cands:
-        t = tarr[c]
         static = sarr[c]
         context_score = 0.0
-        if "geo" in t:
-            # country_percentile(COUNTRY) is constant 0.0 (the reference's
-            # never-populated countries{} quirk, context.py:285-293) — the
-            # COUNTRY fetch it would consume is dead, so neither runs
-            pass
-        elif "person" in t:
+        k = kinds[c]
+        # CTX_GEO: country_percentile(COUNTRY) is constant 0.0 (the
+        # reference's never-populated countries{} quirk, context.py:285-293)
+        # — the COUNTRY fetch it would consume is dead, so neither runs
+        if k == K_PERSON:
             context_score = ctx.person_percentile(c)
-        elif "organization" in t:
+        elif k == K_ORG:
             context_score = ctx.org_event_percentile(c, "organization")
-        elif "event" in t:
+        elif k == K_EVENT:
             context_score = ctx.org_event_percentile(c, "event")
-        else:
-            for ch in t:  # char iteration quirk (entity.py:241-245)
-                if ch[:2] != "__" and ch != "__":
-                    context_score = ctx.common_percentile(c, ch)
-                    break
+        elif k == K_CHAR:  # char iteration quirk (entity.py:241-245)
+            context_score = ctx.common_percentile(c, kchars[c])
         if context_score > 0:
             poorly = False
         static_score.append(static)
@@ -583,13 +590,13 @@ def disambiguate_with_context(m: Mention, kb: KBBundle, ctx: Context, register: 
     m.set_preferred_sense(pref, register)
 
     # explicit per-paragraph person count update (entity.py:253-262)
-    t = tarr[pref]
-    if "person" in t and len(cands) != 1:
+    if kb.person_sub_flag_arr()[pref] and len(cands) != 1:
         name = kb.name_arr()[pref]
         par = ctx.paragraphs[ctx.paragraph_index]
         bucket = ctx.mentions[par].setdefault("person", {})
         bucket.setdefault(name, 0)
         bucket[name] += 1
+        ctx._person_total[par] = ctx._person_total.get(par, 0) + 1
 
 
 # ---------------------------------------------------------------------------
