@@ -292,3 +292,52 @@ def test_surname_index_unwanted_match_guard():
     assert 1 in nl.get("Curie", [])        # clean name → surname indexed
     assert 2 not in nl.get("Earl", [])     # comma+digit in NAME → no surname
     assert 3 not in nl.get("Fairhair", [])  # standalone 'Prince' → no surname
+
+
+def test_ctx_dispatch_arrays_match_substring_semantics(bundle):
+    """ctx_kind_arr/ctx_char_arr/flag arrays must reproduce the exact
+    substring branch of entity.py:227-245 for every KB line (drift guard
+    for the precomputed dispatch used by disambiguate_with_context)."""
+    kinds, chars = bundle.ctx_kind_arr(), bundle.ctx_char_arr()
+    aflag, gflag = bundle.artist_flag_arr(), bundle.group_flag_arr()
+    psub = bundle.person_sub_flag_arr()
+    K = bundle
+    for line in range(len(bundle.type_arr())):
+        t = bundle.type_arr()[line]
+        if "geo" in t:
+            want, wch = K.CTX_GEO, ""
+        elif "person" in t:
+            want, wch = K.CTX_PERSON, ""
+        elif "organization" in t:
+            want, wch = K.CTX_ORG, ""
+        elif "event" in t:
+            want, wch = K.CTX_EVENT, ""
+        else:
+            # reference char loop: first ch with ch[:2] != "__" and
+            # ch != "__" — always the first char for non-empty t
+            want, wch = (K.CTX_CHAR, t[0]) if t else (K.CTX_NONE, "")
+        assert kinds[line] == want and chars[line] == wch, (line, t)
+        assert aflag[line] == ("artist" in t)
+        assert gflag[line] == ("group" in t)
+        assert psub[line] == ("person" in t)
+
+
+def test_ctx_dispatch_synthetic_edge_types():
+    """Edge type strings: empty, both geo+person (geo wins, but the
+    person-bucket tail still sees 'person' via person_sub_flag_arr)."""
+    from ner_spark.semantics.kb import KBBundle
+
+    rows = [
+        dict(id=1, type="geo:person_settlement", name="A",
+             description="d" * 60, wiki_backlinks=1, wiki_hits=1, wiki_ps=1),
+        dict(id=2, type="", name="B",
+             description="d" * 60, wiki_backlinks=1, wiki_hits=1, wiki_ps=1),
+        dict(id=3, type="museum", name="C",
+             description="d" * 60, wiki_backlinks=1, wiki_hits=1, wiki_ps=1),
+    ]
+    kb = KBBundle.from_rows(rows)
+    assert kb.ctx_kind_arr()[1] == KBBundle.CTX_GEO
+    assert kb.person_sub_flag_arr()[1] is True   # tail check still fires
+    assert kb.ctx_kind_arr()[2] == KBBundle.CTX_NONE
+    assert kb.ctx_kind_arr()[3] == KBBundle.CTX_CHAR
+    assert kb.ctx_char_arr()[3] == "m"
