@@ -656,6 +656,19 @@ def q_pii_scrub(spark, sf_dir):
         .select("doc_id", "n_email", "n_ipv4", "n_phone", "has_pii")
 
 
+def q_boilerplate_scrub(spark, sf_dir):
+    """Cross-document boilerplate removal (CCNet/C4 line-filter family) —
+    textops.boilerplate.remove_boilerplate with token-chunk segmentation
+    (the synthetic corpus has no newlines).  Segments in >= ceil(5% of
+    docs) are scrubbed from every document; corpus text is never
+    shuffled (frequent set + doc total return as broadcasts).  Oracle:
+    the identical list-algebra in DuckDB."""
+    from ner_spark.textops.boilerplate import remove_boilerplate
+    return remove_boilerplate(_t(spark, sf_dir, "documents"),
+                              mode="token_chunks", n_tokens=2,
+                              min_doc_frac=0.05)
+
+
 def q_curate_corpus(spark, sf_dir):
     """The composed curation verdict (quality gates ∧ dedup-canonical ∧
     ¬contaminated) over every corpus doc — textops.curate.curate.  Oracle
@@ -705,24 +718,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed queries FIRST: the driver's correctness harness checks
     the first 50 dict entries, so oracle-backed operators that have never
     been driver-checked must sit inside that window (round-2 lesson — 4
-    oracle-backed queries fell off the end).  With 54 oracle-backed queries
-    and a 50-entry window, the four parked outside are the most redundant:
+    oracle-backed queries fell off the end).  With 55 oracle-backed queries
+    and a 50-entry window, the five parked outside are the most redundant:
     ``embed_lsh_full`` / ``embed_ivf_full`` (oracle SQL literally
     ``embed_knn``'s — degenerate configs ≡ brute force, pytest-pinned in
     tests/test_ann.py, tests/test_ivf.py) and ``salted_count`` /
-    ``customers_with_orders`` (driver-green in BOTH rounds 1 and 2,
-    unchanged since; their devices stay in-window via ``salted_join`` and
-    ``customers_without_orders``).  That puts the round-3 compositions
-    ``curate_corpus`` and ``pii_scrub`` under the driver's gate.  All 54
-    are still checked by tools/check_contract.py locally.  The rows-only
-    queries (sketches / approximate by design) are deliberately last."""
+    ``customers_with_orders`` / ``tpch_q10_like`` (driver-green in BOTH
+    rounds 1 and 2, unchanged since; their devices stay in-window via
+    ``salted_join``, ``customers_without_orders``, and the q1/q3/q5 +
+    rollup/cube join-agg family).  That puts the round-3 additions
+    ``curate_corpus``, ``pii_scrub`` and ``boilerplate_scrub`` under the
+    driver's gate.  All 55 are still checked by tools/check_contract.py
+    locally.  The rows-only queries (sketches / approximate by design)
+    are deliberately last."""
     return {
         "tpch_q1": q_tpch_q1,
         "top_order_per_customer": q_top_order_per_customer,
         "revenue_by_nation": q_revenue_by_nation,
         "tpch_q3_like": q_tpch_q3_like,
         "tpch_q5_like": q_tpch_q5_like,
-        "tpch_q10_like": q_tpch_q10_like,
         "customers_without_orders": q_customers_without_orders,
         "click_only_users": q_click_only_users,
         "salted_join": q_salted_join,
@@ -767,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "curate_corpus": q_curate_corpus,
         "pii_scrub": q_pii_scrub,
+        "boilerplate_scrub": q_boilerplate_scrub,
         # ---- oracle-backed but REDUNDANT with in-window checks — parked
         # outside the driver's 50-entry window (embed_*_full: oracle SQL
         # byte-identical to embed_knn's, degenerate-config ≡ brute force
@@ -777,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_full": q_embed_ivf_full,
         "salted_count": q_salted_count,
         "customers_with_orders": q_customers_with_orders,
+        "tpch_q10_like": q_tpch_q10_like,
         # ---- rows-only (approximate/iterative by design; no oracle) ----
         "distinct_users_hll": q_distinct_users_hll,
         "kgc_pagerank": q_kgc_pagerank,
@@ -1507,4 +1523,39 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_scrub": _PII_SCRUB_SQL,
+        # q_boilerplate_scrub: identical list algebra — 2-token chunks,
+        # per-doc distinct before the doc-count, threshold ceil(0.05·N)
+        # computed in-query (both engines do the same IEEE double math),
+        # filter preserves order and duplicates.  coalesce(list(...), [])
+        # mirrors Spark's collect_list-on-empty → [] semantics.
+        "boilerplate_scrub": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(text, '\\s+') AS t
+              FROM documents),
+            segd AS (
+              SELECT doc_id,
+                     list_transform(range(1, len(t) + 1, 2),
+                       i -> array_to_string(list_slice(t, i, i + 1), ' '))
+                       AS segs
+              FROM toks),
+            occ AS (
+              SELECT doc_id, unnest(list_distinct(segs)) AS seg FROM segd),
+            counts AS (
+              SELECT seg, count(*) AS n_docs FROM occ GROUP BY seg),
+            total AS (SELECT count(*) AS tot FROM documents),
+            freq AS (
+              SELECT coalesce(list(seg), []) AS fset
+              FROM counts, total
+              WHERE n_docs >= ceil(0.05 * tot)),
+            scrub AS (
+              SELECT doc_id, segs,
+                     list_filter(segs, s -> NOT list_contains(fset, s))
+                       AS kept
+              FROM segd, freq)
+            SELECT doc_id,
+                   CAST(len(segs) AS BIGINT) AS n_seg,
+                   CAST(len(segs) - len(kept) AS BIGINT) AS n_removed,
+                   array_to_string(kept, ' ') AS clean_text
+            FROM scrub
+        """,
     }

@@ -53,14 +53,12 @@ def test_no_oracle_projects_hugeint_or_decimal(con):
 #  * embed_*_full: oracle SQL byte-identical to embed_knn's (degenerate
 #    configs — one bucket / full probe ≡ brute force), so the driver
 #    already validates that SQL; the degenerate-equality is pytest-pinned.
-#  * curate_corpus: a join of the three stage oracles (quality_filter,
-#    dedup_clusters, decontaminate) that ARE checked in-window.
+#  * salted_count / customers_with_orders / tpch_q10_like: driver-green in
+#    rounds 1 AND 2 and unchanged since (devices stay in-window via
+#    salted_join / customers_without_orders / the q1-q3-q5 join-agg family).
 _SAME_AS_KNN = {"embed_lsh_full", "embed_ivf_full"}
-# parked outside the driver's 50-entry window: embed_*_full share
-# embed_knn's SQL byte-for-byte; salted_count / customers_with_orders were
-# driver-green in rounds 1 AND 2 and are unchanged (devices in-window via
-# salted_join / customers_without_orders)
-_REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {"salted_count", "customers_with_orders"}
+_REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {"salted_count", "customers_with_orders",
+                                       "tpch_q10_like"}
 
 
 def test_every_oracle_has_a_query_and_matching_order():
