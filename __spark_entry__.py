@@ -656,6 +656,18 @@ def q_pii_scrub(spark, sf_dir):
         .select("doc_id", "n_email", "n_ipv4", "n_phone", "has_pii")
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by md5-range on
+    doc_id — operators.stable_split.  Key-hash splits (vs rand()) stay
+    stable across reruns and corpus growth; md5 renders identically in
+    Spark and DuckDB so the oracle checks the exact assignment.  Pure
+    narrow projection: zero shuffles (plan-asserted)."""
+    from ner_spark.operators import stable_split
+    return stable_split(_t(spark, sf_dir, "documents"), "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1}) \
+        .select("doc_id", "split")
+
+
 def q_boilerplate_scrub(spark, sf_dir):
     """Cross-document boilerplate removal (CCNet/C4 line-filter family) —
     textops.boilerplate.remove_boilerplate with token-chunk segmentation
@@ -718,23 +730,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed queries FIRST: the driver's correctness harness checks
     the first 50 dict entries, so oracle-backed operators that have never
     been driver-checked must sit inside that window (round-2 lesson — 4
-    oracle-backed queries fell off the end).  With 55 oracle-backed queries
-    and a 50-entry window, the five parked outside are the most redundant:
+    oracle-backed queries fell off the end).  With 56 oracle-backed queries
+    and a 50-entry window, the six parked outside are the most redundant:
     ``embed_lsh_full`` / ``embed_ivf_full`` (oracle SQL literally
     ``embed_knn``'s — degenerate configs ≡ brute force, pytest-pinned in
     tests/test_ann.py, tests/test_ivf.py) and ``salted_count`` /
-    ``customers_with_orders`` / ``tpch_q10_like`` (driver-green in BOTH
-    rounds 1 and 2, unchanged since; their devices stay in-window via
-    ``salted_join``, ``customers_without_orders``, and the q1/q3/q5 +
-    rollup/cube join-agg family).  That puts the round-3 additions
-    ``curate_corpus``, ``pii_scrub`` and ``boilerplate_scrub`` under the
-    driver's gate.  All 55 are still checked by tools/check_contract.py
-    locally.  The rows-only queries (sketches / approximate by design)
-    are deliberately last."""
+    ``customers_with_orders`` / ``tpch_q10_like`` / ``revenue_by_nation``
+    (driver-green in BOTH rounds 1 and 2, unchanged since; their devices
+    stay in-window via ``salted_join``, ``customers_without_orders``, and
+    the q1/q3/q5 + rollup/cube join-agg family).  That puts the round-3
+    additions ``curate_corpus``, ``pii_scrub``, ``boilerplate_scrub`` and
+    ``corpus_split`` under the driver's gate.  All 56 are still checked
+    by tools/check_contract.py locally.  The rows-only queries (sketches
+    / approximate by design) are deliberately last."""
     return {
         "tpch_q1": q_tpch_q1,
         "top_order_per_customer": q_top_order_per_customer,
-        "revenue_by_nation": q_revenue_by_nation,
+        "corpus_split": q_corpus_split,
         "tpch_q3_like": q_tpch_q3_like,
         "tpch_q5_like": q_tpch_q5_like,
         "customers_without_orders": q_customers_without_orders,
@@ -793,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_count": q_salted_count,
         "customers_with_orders": q_customers_with_orders,
         "tpch_q10_like": q_tpch_q10_like,
+        "revenue_by_nation": q_revenue_by_nation,
         # ---- rows-only (approximate/iterative by design; no oracle) ----
         "distinct_users_hll": q_distinct_users_hll,
         "kgc_pagerank": q_kgc_pagerank,
@@ -902,6 +915,27 @@ def _pii_scrub_sql() -> str:
 
 
 _PII_SCRUB_SQL = _pii_scrub_sql()
+
+
+def _corpus_split_sql() -> str:
+    """Oracle for q_corpus_split: identical md5-hex-range CASE, thresholds
+    single-sourced from operators.split_thresholds (md5 of the decimal
+    doc_id string renders identically in Spark and DuckDB)."""
+    from ner_spark.operators import split_thresholds
+
+    ths = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    whens = "\n                ".join(
+        f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <= '{bound}' "
+        f"THEN '{name}'" for name, bound in ths[:-1])
+    return f"""
+        SELECT doc_id,
+               CASE {whens}
+                ELSE '{ths[-1][0]}' END AS split
+        FROM documents
+    """
+
+
+_CORPUS_SPLIT_SQL = _corpus_split_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1523,6 +1557,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_scrub": _PII_SCRUB_SQL,
+        "corpus_split": _CORPUS_SPLIT_SQL,
         # q_boilerplate_scrub: identical list algebra — 2-token chunks,
         # per-doc distinct before the doc-count, threshold ceil(0.05·N)
         # computed in-query (both engines do the same IEEE double math),

@@ -96,3 +96,45 @@ def interval_join(points: DataFrame, intervals: DataFrame,
                 & (F.col(point_col) < F.col(end_col)))
         .drop("_b")
     )
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """(name, 8-hex-digit upper bound) per split, cumulative order.
+
+    The LAST split's bound is forced to 'ffffffff…' so the ranges cover
+    the whole hash space regardless of float rounding in the cumsum."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out: list[tuple[str, str]] = []
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        out.append((name, format(min(int(cum * 16 ** 8), 16 ** 8 - 1), "08x")))
+    out.append((names[-1], "f" * 8))
+    return out
+
+
+def stable_split(df: DataFrame, key_col: str,
+                 fractions: dict[str, float],
+                 out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment by hash RANGE, not rand().
+
+    Each row's split is a pure function of ``key_col`` — stable across
+    reruns, partitionings, and corpus growth (a doc keeps its split when
+    new docs arrive; `rand()`-based splits reshuffle everything).  The
+    hash is the first 8 hex chars of md5(key as string) compared against
+    cumulative-fraction thresholds — md5 renders identically in Spark and
+    ANSI SQL engines, so the assignment is exactly oracle-checkable.
+    Pure narrow projection: zero shuffles at any scale."""
+    hx = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")),
+                     1, 8)
+    ths = split_thresholds(fractions)
+    col = None  # WHENs chained in cumulative-threshold order
+    for name, bound in ths[:-1]:
+        col = (F.when if col is None else col.when)(
+            hx <= F.lit(bound), F.lit(name))
+    col = F.lit(ths[-1][0]) if col is None else col.otherwise(
+        F.lit(ths[-1][0]))
+    return df.withColumn(out_col, col)

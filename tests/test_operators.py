@@ -144,3 +144,57 @@ def test_lsh_plan_construction_runs_no_job(spark):
         v = np.array([float(i), 1.0, -1.0, 0.5])
         want = int(((v @ H.T) > 0).astype(int) @ (1 << np.arange(4)))
         assert got[i] == want
+
+
+# -- stable_split ----------------------------------------------------------
+
+def test_stable_split_deterministic_and_exhaustive(spark, sf_dir):
+    from ner_spark.operators import stable_split
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"]
+         for r in stable_split(df, "doc_id", fr).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in stable_split(df, "doc_id", fr).collect()}
+    assert a == b                       # pure function of the key
+    assert set(a.values()) <= set(fr)   # every row assigned, no NULLs
+    n = len(a)
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.7 * n <= n_train <= 0.9 * n  # ~80% within tolerance
+
+
+def test_stable_split_is_stable_under_corpus_growth(spark):
+    """A doc's split must not change when new docs arrive (the property
+    rand()-based splits lack)."""
+    from ner_spark.operators import stable_split
+
+    fr = {"train": 0.8, "test": 0.2}
+    small = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"]
+         for r in stable_split(small, "doc_id", fr).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in stable_split(big, "doc_id", fr).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_stable_split_zero_shuffle_and_fraction_validation(spark, sf_dir):
+    import pytest as _pytest
+
+    from ner_spark.operators import stable_split
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = stable_split(df, "doc_id", {"a": 0.5, "b": 0.5}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan       # pure narrow projection
+    with _pytest.raises(ValueError):
+        stable_split(df, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_split_thresholds_cover_full_hash_space():
+    from ner_spark.operators import split_thresholds
+
+    ths = split_thresholds({"train": 1 / 3, "val": 1 / 3, "test": 1 / 3})
+    assert ths[-1] == ("test", "ffffffff")  # forced closure of the range
+    assert ths[0][1] < ths[1][1] <= ths[-1][1]
