@@ -52,7 +52,7 @@ HEADLINE = [
     # quality_filter + dedup_clusters + decontaminate, all benched above —
     # timing it again would double-count the pair pipeline.
     "dedup_clusters", "pack_sequences", "source_quota", "embed_kmeans",
-    "pii_scrub", "boilerplate_scrub", "corpus_split",
+    "pii_scrub", "boilerplate_scrub", "corpus_split", "kgc_triangles",
 ]
 
 

@@ -26,6 +26,52 @@ def degree_centrality(edges: DataFrame, src: str = "subj",
         F.sum("w").alias("weighted_degree"))
 
 
+def triangle_count(edges: DataFrame, src: str = "subj",
+                   dst: str = "obj") -> DataFrame:
+    """(node, triangles): how many triangles each node participates in,
+    over the undirected graph (self-loops dropped, duplicate / reversed
+    edges collapsed).  Nodes in no triangle are absent.
+
+    Degree-ordered ("compact-forward") enumeration: every edge is
+    oriented from its lower-(degree, id) endpoint to the higher, wedges
+    are generated only at each triangle's minimum vertex in that order,
+    and a triangle is closed by probing the single oriented edge between
+    the two out-neighbors.  Total wedge work is O(m^1.5) regardless of
+    hub skew — a degree-D hub generates no wedges unless both neighbors
+    out-rank it — vs Θ(Σ deg²) for naive id-ordering, which melts on the
+    celebrity entities a co-mention graph always has.  Plan: one degree
+    agg + two shuffle equi-joins + one agg; no iteration, no driver
+    collect.  The per-node counts are invariant to the orientation used,
+    so the DuckDB oracle uses plain id ordering.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter("u <> v")
+         .select(F.least("u", "v").alias("u"),
+                 F.greatest("u", "v").alias("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("node"))
+           .unionByName(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    ed = (e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")),
+                 "u")
+          .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")),
+                "v"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"))
+    wedges = (oriented.alias("x")
+              .join(oriented.alias("y"), F.col("x.hi") == F.col("y.lo"))
+              .select(F.col("x.lo").alias("a"), F.col("x.hi").alias("b"),
+                      F.col("y.hi").alias("c")))
+    tri = wedges.join(
+        oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c")),
+        ["a", "c"])
+    return (tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("triangles")))
+
+
 def _driver_pagerank(spark, pairs: list[tuple[int, int]], n_iter: int,
                      damping: float) -> DataFrame:
     """numpy power iteration — exact same result as the distributed loop,

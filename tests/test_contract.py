@@ -53,12 +53,14 @@ def test_no_oracle_projects_hugeint_or_decimal(con):
 #  * embed_*_full: oracle SQL byte-identical to embed_knn's (degenerate
 #    configs — one bucket / full probe ≡ brute force), so the driver
 #    already validates that SQL; the degenerate-equality is pytest-pinned.
-#  * salted_count / customers_with_orders / tpch_q10_like: driver-green in
-#    rounds 1 AND 2 and unchanged since (devices stay in-window via
-#    salted_join / customers_without_orders / the q1-q3-q5 join-agg family).
+#  * salted_count / customers_with_orders / tpch_q10_like / revenue_rollup:
+#    driver-green in rounds 1 AND 2 and unchanged since (devices stay
+#    in-window via salted_join / customers_without_orders / the q1-q3-q5 +
+#    cube join-agg family — cube subsumes the rollup grouping-sets device).
 _SAME_AS_KNN = {"embed_lsh_full", "embed_ivf_full"}
 _REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {"salted_count", "customers_with_orders",
-                                       "tpch_q10_like", "revenue_by_nation"}
+                                       "tpch_q10_like", "revenue_by_nation",
+                                       "revenue_rollup"}
 
 
 def test_every_oracle_has_a_query_and_matching_order():

@@ -20,6 +20,49 @@ def test_degree_centrality(spark):
     assert sum(d for d, _ in got.values()) == 2 * len(EDGES)
 
 
+def test_triangle_count_known_graph(spark):
+    """K4 on {1..4} plus pendant 5: every K4 node closes C(3,2)=3
+    triangles, the pendant closes none (and is absent)."""
+    from ner_spark.pipeline.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(
+        [(f"e:{a}", f"e:{b}") for a, b in k4 + [(4, 5)]],
+        "subj string, obj string")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert got == {f"e:{n}": 3 for n in range(1, 5)}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Random graph vs itertools enumeration; input has duplicate,
+    reversed, and self-loop edges to exercise canonicalization."""
+    import itertools
+    import random
+
+    from ner_spark.pipeline.graph import triangle_count
+
+    rng = random.Random(7)
+    edges = {(a, b) for a in range(12) for b in range(12)
+             if a < b and rng.random() < 0.35}
+    noisy = ([(a, b) for a, b in edges]
+             + [(b, a) for a, b in list(edges)[::3]]   # reversed dups
+             + [(a, a) for a in range(4)])             # self loops
+    df = spark.createDataFrame(
+        [(f"e:{a}", f"e:{b}") for a, b in noisy], "subj string, obj string")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == {f"e:{n}": c for n, c in want.items()}
+
+
 def test_pagerank_matches_numpy(spark):
     from ner_spark.pipeline.graph import pagerank
 

@@ -126,3 +126,17 @@ def test_pack_and_quota_single_shuffle(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, q
         assert "CartesianProduct" not in plan, q
+
+
+def test_triangle_count_all_equi_joins(spark):
+    """The compact-forward triangle plan must be pure equi-joins — a
+    CartesianProduct / BroadcastNestedLoopJoin here is the difference
+    between O(m^1.5) and never-finishes at web scale."""
+    from ner_spark.pipeline.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(f"e:{a}", f"e:{b}") for a in range(1, 5) for b in range(a + 1, 5)],
+        "subj string, obj string")
+    plan = _plan(triangle_count(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
