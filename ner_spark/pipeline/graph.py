@@ -10,7 +10,7 @@ growth the same way the CC loop does (pipeline/cc.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -70,6 +70,79 @@ def triangle_count(edges: DataFrame, src: str = "subj",
         ["a", "c"])
     return (tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
             .groupBy("node").agg(F.count(F.lit(1)).alias("triangles")))
+
+
+def neighborhood_similarity(edges: DataFrame, threshold: float = 0.5,
+                            src: str = "subj",
+                            dst: str = "obj") -> DataFrame:
+    """(e1, e2, shared, uni, jaccard): entity pairs whose co-mention
+    neighborhoods overlap with Jaccard ≥ ``threshold`` — the graph-context
+    signal for duplicate / conflatable KG entities (two ids that always
+    co-occur with the same third parties are usually one entity).
+
+    EXACT under the threshold, with prefix-filtered candidate generation
+    (the PPJoin/AllPairs device, Bayardo et al., WWW'07): each node's
+    neighbor list is ordered by ascending global neighbor degree
+    (rarest-first) and only its first ``d - ceil(t*d) + 1`` neighbors may
+    emit candidate pairs — any pair meeting the threshold must share a
+    token inside both prefixes, so no qualifying pair is lost, while a
+    degree-D celebrity neighbor sitting outside prefixes generates none
+    of its Θ(D²) wedges.  Verification joins the candidates back to the
+    full adjacency sets and computes the exact intersection; jaccard =
+    shared/(d1+d2-shared) is one IEEE double division on long operands,
+    bit-identical in Spark and DuckDB, so the exhaustive SQL oracle
+    hash-matches.  Adjacency sets are per-node ``collect_set`` rows —
+    bounded by the max co-mention degree (KB-sized, not corpus-sized);
+    at true web scale cap or hub-split them before this operator.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter("u <> v")
+         .select(F.least("u", "v").alias("u"),
+                 F.greatest("u", "v").alias("v"))
+         .distinct())
+    sym = (e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+           .unionByName(e.select(F.col("v").alias("node"),
+                                 F.col("u").alias("nbr"))))
+    nbr_deg = sym.groupBy(F.col("nbr")).agg(F.count(F.lit(1)).alias("nd"))
+    ranked = (
+        sym.join(nbr_deg, "nbr")
+        .withColumn("pos", F.row_number().over(
+            Window.partitionBy("node").orderBy("nd", "nbr")))
+        .withColumn("d", F.count(F.lit(1)).over(Window.partitionBy("node")))
+    )
+    # prefix length d - ceil(t*d) + 1; any pair with jaccard >= t shares
+    # >= t/(1+t)*(d1+d2) >= t*max(d1,d2) neighbors, so its first common
+    # token (in the global rarest-first order) lies in both prefixes
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("d") - F.ceil(F.lit(threshold) * F.col("d")) + 1)
+    cands = (prefix.alias("a").join(prefix.alias("b"), "nbr")
+             .filter(F.col("a.node") < F.col("b.node"))
+             .select(F.col("a.node").alias("e1"),
+                     F.col("b.node").alias("e2"))
+             .distinct())
+    adj = sym.groupBy("node").agg(
+        F.collect_set("nbr").alias("nbrs"),
+        F.count(F.lit(1)).alias("deg"))
+    verified = (
+        cands
+        .join(adj.select(F.col("node").alias("e1"),
+                         F.col("nbrs").alias("n1"),
+                         F.col("deg").alias("d1")), "e1")
+        .join(adj.select(F.col("node").alias("e2"),
+                         F.col("nbrs").alias("n2"),
+                         F.col("deg").alias("d2")), "e2")
+        .select("e1", "e2",
+                F.size(F.array_intersect("n1", "n2")).cast("long")
+                .alias("shared"),
+                (F.col("d1") + F.col("d2")).alias("dsum"))
+        .select("e1", "e2", "shared",
+                (F.col("dsum") - F.col("shared")).alias("uni"))
+        .withColumn("jaccard",
+                    F.col("shared").cast("double")
+                    / F.col("uni").cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
 
 
 def _driver_pagerank(spark, pairs: list[tuple[int, int]], n_iter: int,

@@ -117,3 +117,36 @@ def test_pagerank_directed_sink_nodes_both_paths(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     assert pagerank(empty, undirected=False, driver_threshold=0).count() == 0
     assert pagerank(empty).count() == 0
+
+
+def test_neighborhood_similarity_matches_bruteforce(spark):
+    """Prefix-filtered candidates + exact verify vs python-set Jaccard at
+    several thresholds (completeness of the AllPairs prefix bound)."""
+    import random
+
+    from ner_spark.pipeline.graph import neighborhood_similarity
+
+    rng = random.Random(11)
+    edges = {(a, b) for a in range(14) for b in range(14)
+             if a < b and rng.random() < 0.3}
+    df = spark.createDataFrame(
+        [(f"e:{a:02d}", f"e:{b:02d}") for a, b in edges],
+        "subj string, obj string")
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    for t in (0.25, 0.5, 0.75):
+        got = {(r.e1, r.e2): (r.shared, r.uni, r.jaccard)
+               for r in neighborhood_similarity(df, t).collect()}
+        want = {}
+        nodes = sorted(adj)
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1:]:
+                sh = len(adj[a] & adj[b])
+                un = len(adj[a] | adj[b])
+                if sh and sh / un >= t:
+                    want[(f"e:{a:02d}", f"e:{b:02d}")] = (sh, un, sh / un)
+        assert got == want, t
