@@ -218,9 +218,15 @@ class Context:
         # bucket has exactly one writer (disambiguate_with_context's tail),
         # which bumps this alongside, so total == sum(bucket.values())
         self._person_total: dict[int, int] = {}
-        # hot KB arrays pinned once per Context (update() runs per mention)
+        # hot KB arrays pinned once per Context (update() runs per mention;
+        # disambiguate_with_context reads the last five once per mention)
         self._tarr = kb.type_arr()
         self._garr = kb.gender_arr()
+        self._sarr = kb.score_arr()
+        self._kinds = kb.ctx_kind_arr()
+        self._kchars = kb.ctx_char_arr()
+        self._psub = kb.person_sub_flag_arr()
+        self._names = kb.name_arr()
 
         bounds = self.paragraphs + [2**62]
         ent_index = 0
@@ -550,14 +556,38 @@ def disambiguate_with_context(m: Mention, kb: KBBundle, ctx: Context, register: 
     if m.is_coreference or not cands:
         return
     ctx.recompute_paragraph_offset(m.start)
-    sarr = kb.score_arr()
     # branch choice is a pure function of the candidate's frozen type
     # string — precomputed once per KB (ctx_kind_arr) instead of 4
-    # substring scans per candidate per mention
-    kinds = kb.ctx_kind_arr()
-    kchars = kb.ctx_char_arr()
+    # substring scans per candidate per mention; arrays pinned on ctx
+    sarr = ctx._sarr
+    kinds = ctx._kinds
+    kchars = ctx._kchars
     K_PERSON, K_ORG, K_EVENT, K_CHAR = (KBBundle.CTX_PERSON, KBBundle.CTX_ORG,
                                         KBBundle.CTX_EVENT, KBBundle.CTX_CHAR)
+    if len(cands) == 1:
+        # dominant case (99% of dense-corpus mentions): one candidate.
+        # Same arithmetic and same observable state as the general loop
+        # below with cands == [c] — argmax of one is c, and the explicit
+        # per-paragraph person bump is len(cands) != 1 by definition.
+        c = cands[0]
+        context_score = 0.0
+        k = kinds[c]
+        if k == K_PERSON:
+            context_score = ctx.person_percentile(c)
+        elif k == K_ORG:
+            context_score = ctx.org_event_percentile(c, "organization")
+        elif k == K_EVENT:
+            context_score = ctx.org_event_percentile(c, "event")
+        elif k == K_CHAR:
+            context_score = ctx.common_percentile(c, kchars[c])
+        if context_score > 0:
+            m.poorly_disambiguated = False
+        static = sarr[c]
+        m.static_score = [static]
+        m.context_score = [context_score]
+        m.score = [static + context_score]
+        m.set_preferred_sense(c, register)
+        return
     score: list[float] = []
     static_score: list[float] = []
     context_score_l: list[float] = []
@@ -590,8 +620,8 @@ def disambiguate_with_context(m: Mention, kb: KBBundle, ctx: Context, register: 
     m.set_preferred_sense(pref, register)
 
     # explicit per-paragraph person count update (entity.py:253-262)
-    if kb.person_sub_flag_arr()[pref] and len(cands) != 1:
-        name = kb.name_arr()[pref]
+    if ctx._psub[pref] and len(cands) != 1:
+        name = ctx._names[pref]
         par = ctx.paragraphs[ctx.paragraph_index]
         bucket = ctx.mentions[par].setdefault("person", {})
         bucket.setdefault(name, 0)
