@@ -370,6 +370,17 @@ def q_kgc_entity_sim(spark, sf_dir):
     return neighborhood_similarity(comention_edges(mentions), threshold=0.5)
 
 
+def q_kgc_kcore(spark, sf_dir):  # rows-only (iterative peel fixpoint)
+    """3-core of the co-mention graph (node + within-core degree) — the
+    standard noise prune of a constructed KG.  Peeling is an iterative
+    fixpoint, not one SQL query; both hybrid paths are verified against
+    a pure-Python peel in tests/test_graph.py."""
+    from ner_spark.pipeline.graph import kcore
+    art = compile_dockb(spark)
+    mentions = extract_mentions(_docs_as_pages(spark, sf_dir), art)
+    return kcore(comention_edges(mentions), k=3)
+
+
 def q_kgc_pagerank(spark, sf_dir):  # rows-only (iterative float fixpoint)
     """PageRank over the co-mention graph (10 synchronous iterations,
     d=0.85); verified against a numpy power iteration in tests/test_graph."""
@@ -839,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- rows-only (approximate/iterative by design; no oracle) ----
         "distinct_users_hll": q_distinct_users_hll,
         "kgc_pagerank": q_kgc_pagerank,
+        "kgc_kcore": q_kgc_kcore,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "embed_lsh": q_embed_lsh,

@@ -145,6 +145,72 @@ def neighborhood_similarity(edges: DataFrame, threshold: float = 0.5,
     return verified
 
 
+def kcore(edges: DataFrame, k: int = 3, src: str = "subj",
+          dst: str = "obj", driver_threshold: int = 2_000_000) -> DataFrame:
+    """(node, degree): the maximal subgraph where every node keeps degree
+    ≥ k — the standard prune of a noisy co-mention KG (spurious entities
+    and their one-off edges peel away; dense, repeatedly-co-mentioned
+    cores remain).  Degree reported WITHIN the k-core subgraph.
+
+    Peeling is an iterative fixpoint (remove deg<k nodes, recompute,
+    repeat), so no single SQL oracle exists — verified against a pure
+    Python peel in tests/test_graph.py.  Hybrid like
+    :func:`pagerank` / the CC loop: edge sets under ``driver_threshold``
+    peel driver-side (the co-mention graph is KB-sized next to the
+    corpus); larger graphs run the distributed loop — each round one
+    degree agg + one semi-join filter, ``localCheckpoint`` truncating
+    lineage.  Round count is bounded by the peel depth (≤ max coreness
+    shells, in practice a handful), not by graph size."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter("u <> v")
+         .select(F.least("u", "v").alias("u"),
+                 F.greatest("u", "v").alias("v"))
+         .distinct())
+    spark = edges.sparkSession
+    if driver_threshold:
+        e = e.persist()
+        if e.count() <= driver_threshold:
+            pairs = [(r.u, r.v) for r in e.toLocalIterator()]
+            e.unpersist()
+            adj: dict = {}
+            for a, b in pairs:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            frontier = [n for n, nb in adj.items() if len(nb) < k]
+            while frontier:
+                nxt = []
+                for n in frontier:
+                    for nb in adj.pop(n, ()):  # detach n from survivors
+                        s = adj.get(nb)
+                        if s is not None:
+                            s.discard(n)
+                            if len(s) == k - 1:  # just dropped below k
+                                nxt.append(nb)
+                frontier = nxt
+            rows = [(str(n), len(nb)) for n, nb in adj.items() if nb]
+            return spark.createDataFrame(rows, "node string, degree long") \
+                if rows else spark.createDataFrame([],
+                                                   "node string, degree long")
+    cur = e.localCheckpoint()
+    n_edges = cur.count()
+    while True:
+        sym = (cur.select(F.col("u").alias("node"))
+               .unionByName(cur.select(F.col("v").alias("node"))))
+        deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("node").persist()
+        nxt = (cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+               .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+               .select("u", "v").localCheckpoint())
+        keep.unpersist()
+        n_next = nxt.count()
+        if n_next == n_edges:
+            break
+        cur, n_edges = nxt, n_next
+    sym = (cur.select(F.col("u").cast("string").alias("node"))
+           .unionByName(cur.select(F.col("v").cast("string").alias("node"))))
+    return sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+
+
 def _driver_pagerank(spark, pairs: list[tuple[int, int]], n_iter: int,
                      damping: float) -> DataFrame:
     """numpy power iteration — exact same result as the distributed loop,

@@ -150,3 +150,42 @@ def test_neighborhood_similarity_matches_bruteforce(spark):
                 if sh and sh / un >= t:
                     want[(f"e:{a:02d}", f"e:{b:02d}")] = (sh, un, sh / un)
         assert got == want, t
+
+
+def _py_kcore(edges, k):
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for nb in adj.pop(n):
+                adj[nb].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items() if nb}
+
+
+def test_kcore_both_paths_match_python_peel(spark):
+    """Driver peel and distributed loop must both equal the reference
+    peel, including cascade removals (a chain hanging off a clique peels
+    link by link) and the empty-core case."""
+    import random
+
+    from ner_spark.pipeline.graph import kcore
+
+    rng = random.Random(3)
+    edges = {(a, b) for a in range(16) for b in range(16)
+             if a < b and rng.random() < 0.25}
+    # a chain hanging off node 0: peels in cascade for k >= 2
+    edges |= {(0, 100), (100, 101), (101, 102)}
+    df = spark.createDataFrame(
+        [(f"e:{a}", f"e:{b}") for a, b in edges], "subj string, obj string")
+    for k in (2, 3, 5, 30):
+        want = {f"e:{n}": d for n, d in _py_kcore(edges, k).items()}
+        for thr in (2_000_000, 0):
+            got = {r.node: r.degree
+                   for r in kcore(df, k=k, driver_threshold=thr).collect()}
+            assert got == want, (k, thr)
