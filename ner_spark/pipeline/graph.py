@@ -43,12 +43,18 @@ def triangle_count(edges: DataFrame, src: str = "subj",
     agg + two shuffle equi-joins + one agg; no iteration, no driver
     collect.  The per-node counts are invariant to the orientation used,
     so the DuckDB oracle uses plain id ordering.
+
+    The canonical edge list and its orientation are ``persist()``-ed:
+    both are referenced by several joins below, and without a cache each
+    reference recomputes the (possibly expensive) upstream that produced
+    the edges — at any scale the edge list is the thing to materialize
+    once (it is KB-sized next to the corpus).
     """
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .filter("u <> v")
          .select(F.least("u", "v").alias("u"),
                  F.greatest("u", "v").alias("v"))
-         .distinct())
+         .distinct()).persist()
     deg = (e.select(F.col("u").alias("node"))
            .unionByName(e.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
@@ -60,7 +66,8 @@ def triangle_count(edges: DataFrame, src: str = "subj",
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
     oriented = ed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"))
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi")) \
+        .persist()
     wedges = (oriented.alias("x")
               .join(oriented.alias("y"), F.col("x.hi") == F.col("y.lo"))
               .select(F.col("x.lo").alias("a"), F.col("x.hi").alias("b"),
@@ -100,9 +107,12 @@ def neighborhood_similarity(edges: DataFrame, threshold: float = 0.5,
          .select(F.least("u", "v").alias("u"),
                  F.greatest("u", "v").alias("v"))
          .distinct())
+    # the symmetric adjacency is read by three consumers (degree count,
+    # prefix ranking, adjacency sets) — persist so the upstream that
+    # produced the edges runs once, not per consumer (KB-sized cache)
     sym = (e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
            .unionByName(e.select(F.col("v").alias("node"),
-                                 F.col("u").alias("nbr"))))
+                                 F.col("u").alias("nbr")))).persist()
     nbr_deg = sym.groupBy(F.col("nbr")).agg(F.count(F.lit(1)).alias("nd"))
     ranked = (
         sym.join(nbr_deg, "nbr")
@@ -114,7 +124,8 @@ def neighborhood_similarity(edges: DataFrame, threshold: float = 0.5,
     # >= t/(1+t)*(d1+d2) >= t*max(d1,d2) neighbors, so its first common
     # token (in the global rarest-first order) lies in both prefixes
     prefix = ranked.filter(
-        F.col("pos") <= F.col("d") - F.ceil(F.lit(threshold) * F.col("d")) + 1)
+        F.col("pos") <= F.col("d") - F.ceil(F.lit(threshold) * F.col("d")) + 1
+    ).persist()  # self-joined below: two references
     cands = (prefix.alias("a").join(prefix.alias("b"), "nbr")
              .filter(F.col("a.node") < F.col("b.node"))
              .select(F.col("a.node").alias("e1"),
@@ -122,7 +133,7 @@ def neighborhood_similarity(edges: DataFrame, threshold: float = 0.5,
              .distinct())
     adj = sym.groupBy("node").agg(
         F.collect_set("nbr").alias("nbrs"),
-        F.count(F.lit(1)).alias("deg"))
+        F.count(F.lit(1)).alias("deg")).persist()  # joined twice below
     verified = (
         cands
         .join(adj.select(F.col("node").alias("e1"),
@@ -168,9 +179,12 @@ def kcore(edges: DataFrame, k: int = 3, src: str = "subj",
          .distinct())
     spark = edges.sparkSession
     if driver_threshold:
+        # parallel probe + Arrow gather from cache (cc.py pattern): never
+        # a single-task CollectLimit funnel, never an unbounded pull
         e = e.persist()
         if e.count() <= driver_threshold:
-            pairs = [(r.u, r.v) for r in e.toLocalIterator()]
+            pdf = e.toPandas()
+            pairs = list(zip(pdf["u"].to_list(), pdf["v"].to_list()))
             e.unpersist()
             adj: dict = {}
             for a, b in pairs:
