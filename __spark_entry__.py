@@ -370,6 +370,26 @@ def q_kgc_entity_sim(spark, sf_dir):
     return neighborhood_similarity(comention_edges(mentions), threshold=0.5)
 
 
+def q_kgc_entity_dates(spark, sf_dir):  # rows-only (date extraction ∉ SQL)
+    """Temporal KG edges: (entity, associatedDate, iso, weight) per
+    paragraph co-occurrence.  find_dates + dateutil parsing is not
+    expressible in DuckDB, so the driver records rows-only; exactness is
+    pinned by a pandas recomputation in tests/test_pipeline.py.  The
+    sf documents table contains no digits at all (every date query over
+    it is vacuously empty), so this runs on the deterministic dated-page
+    fixture — the same precedent as ``kgc_sameas``'s redirect KB."""
+    from ner_spark.fixtures.gen import gen_kb_rows, gen_pages
+    from ner_spark.kb.build import compile_kb
+    from ner_spark.pipeline.triples import entity_date_edges
+
+    kb_rows = gen_kb_rows()
+    pages = gen_pages(kb_rows, n_pages=200)
+    df = spark.createDataFrame([(p["url"], p["text"]) for p in pages],
+                               "url string, text string")
+    art = compile_kb(spark, kb_rows)
+    return entity_date_edges(extract_mentions(df, art))
+
+
 def q_kgc_kcore(spark, sf_dir):  # rows-only (iterative peel fixpoint)
     """3-core of the co-mention graph (node + within-core degree) — the
     standard noise prune of a constructed KG.  Peeling is an iterative
@@ -851,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_hll": q_distinct_users_hll,
         "kgc_pagerank": q_kgc_pagerank,
         "kgc_kcore": q_kgc_kcore,
+        "kgc_entity_dates": q_kgc_entity_dates,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "embed_lsh": q_embed_lsh,

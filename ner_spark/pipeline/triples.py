@@ -101,6 +101,33 @@ def comention_edges(mentions: DataFrame) -> DataFrame:
     )
 
 
+def entity_date_edges(mentions: DataFrame) -> DataFrame:
+    """(e:id, associatedDate, iso, weight): temporal scoping of the KG —
+    how many (url, paragraph)s mention the entity and the date together.
+    Same join shape as comention_edges (equi-join on the fine-grained,
+    naturally unskewed (url, par) key; popularity skew lands on the count
+    agg where partial aggregation absorbs it), but entity×date instead of
+    entity×entity.  No SQL oracle — date extraction (find_dates +
+    dateutil) is not expressible in DuckDB — so correctness is pinned by
+    an independent pandas recomputation in tests/test_pipeline.py."""
+    ents = (
+        mentions.filter(F.col("sense").isNotNull())
+        .select("url", "par", "sense").distinct()
+    )
+    dates = (
+        mentions.filter(F.col("kind") == "date")
+        .select("url", "par", "iso").distinct()
+    )
+    return (
+        ents.join(dates, on=["url", "par"])
+        .groupBy("sense", "iso")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .select(_e(F.col("sense")).alias("subj"),
+                F.lit("associatedDate").alias("pred"),
+                F.col("iso").alias("obj"), "weight")
+    )
+
+
 def redirect_edges(kb_df: DataFrame) -> DataFrame:
     """redirect name → entity id resolution: (src id, dst id) long pairs."""
     r = (

@@ -127,3 +127,35 @@ def test_find_names_parity_spark_vs_oracle(spark, pages_df, artifacts):
             want.add((p.url, r["start"], r["end"], r["kind"], r["sense"]))
     assert got == want
     assert any(k == "name" for (_, _, _, k, _) in want)
+
+
+def test_entity_date_edges_matches_pandas_recompute(spark, pages_df,
+                                                    artifacts):
+    """(entity, iso) per-paragraph co-occurrence weights vs an independent
+    pandas recomputation over the same mention rows."""
+    from ner_spark.pipeline.ner import extract_mentions
+    from ner_spark.pipeline.triples import entity_date_edges
+
+    mentions = extract_mentions(pages_df, artifacts).persist()
+    got = {(r.subj, r.obj): r.weight
+           for r in entity_date_edges(mentions).collect()}
+
+    pdf = mentions.toPandas()
+    ents = {(u, p, s) for u, p, s, k in
+            zip(pdf.url, pdf.par, pdf.sense, pdf.kind) if s == s and
+            s is not None}
+    dates = {(u, p, i) for u, p, i, k in
+             zip(pdf.url, pdf.par, pdf.iso, pdf.kind) if k == "date"}
+    want: dict = {}
+    by_up: dict = {}
+    for u, p, i in dates:
+        by_up.setdefault((u, p), []).append(i)
+    for u, p, s in ents:
+        for i in by_up.get((u, p), ()):
+            key = (f"e:{int(s)}", i)
+            want[key] = want.get(key, 0) + 1
+    assert got == want
+    assert len(got) > 0, "fixture pages must contain entity+date paragraphs"
+    for r in entity_date_edges(mentions).collect()[:1]:
+        assert r.pred == "associatedDate"
+    mentions.unpersist()
