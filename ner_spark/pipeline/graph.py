@@ -79,6 +79,36 @@ def triangle_count(edges: DataFrame, src: str = "subj",
             .groupBy("node").agg(F.count(F.lit(1)).alias("triangles")))
 
 
+def clustering_coefficient(edges: DataFrame, src: str = "subj",
+                           dst: str = "obj") -> DataFrame:
+    """(node, degree, triangles, coefficient): local clustering
+    coefficient triangles / C(degree, 2) per node — how clique-like each
+    entity's co-mention neighborhood is (near 1: a tight story cluster;
+    near 0: a hub bridging unrelated contexts).  Degree-1 nodes have no
+    wedge and are reported with coefficient 0.0 like the zero-triangle
+    ones.  Reuses :func:`triangle_count` (same O(m^1.5) plan) plus one
+    degree agg and a left join; the division is one IEEE double op on
+    longs, so the DuckDB oracle hash-matches bit-exactly."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter("u <> v")
+         .select(F.least("u", "v").alias("u"),
+                 F.greatest("u", "v").alias("v"))
+         .distinct()).persist()
+    deg = (e.select(F.col("u").alias("node"))
+           .unionByName(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    tri = triangle_count(e, src="u", dst="v")
+    return (deg.join(tri, "node", "left")
+            .select("node", "degree",
+                    F.coalesce("triangles", F.lit(0)).alias("triangles"))
+            .withColumn(
+                "coefficient",
+                F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+                    F.col("triangles").cast("double")
+                    / (F.col("degree") * (F.col("degree") - 1) / 2)
+                    .cast("double"))))
+
+
 def neighborhood_similarity(edges: DataFrame, threshold: float = 0.5,
                             src: str = "subj",
                             dst: str = "obj") -> DataFrame:

@@ -60,7 +60,8 @@ def test_no_oracle_projects_hugeint_or_decimal(con):
 _SAME_AS_KNN = {"embed_lsh_full", "embed_ivf_full"}
 _REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {"salted_count", "customers_with_orders",
                                        "tpch_q10_like", "revenue_by_nation",
-                                       "revenue_rollup", "text_token_stats"}
+                                       "revenue_rollup", "text_token_stats",
+                                       "click_only_users"}
 
 
 def test_every_oracle_has_a_query_and_matching_order():

@@ -189,3 +189,20 @@ def test_kcore_both_paths_match_python_peel(spark):
             got = {r.node: r.degree
                    for r in kcore(df, k=k, driver_threshold=thr).collect()}
             assert got == want, (k, thr)
+
+
+def test_clustering_coefficient_known_graph(spark):
+    """K4 + pendant: K4 nodes have coef 1.0 except node 4 which also
+    links the pendant (deg 4, 3 triangles, C(4,2)=6 wedges -> 0.5); the
+    pendant has degree 1 -> 0.0 with zero triangles."""
+    from ner_spark.pipeline.graph import clustering_coefficient
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(
+        [(f"e:{a}", f"e:{b}") for a, b in k4 + [(4, 5)]],
+        "subj string, obj string")
+    got = {r.node: (r.degree, r.triangles, r.coefficient)
+           for r in clustering_coefficient(df).collect()}
+    assert got["e:1"] == (3, 3, 1.0)
+    assert got["e:4"] == (4, 3, 0.5)
+    assert got["e:5"] == (1, 0, 0.0)
