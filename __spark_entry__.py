@@ -439,6 +439,14 @@ def q_text_quality(spark, sf_dir):
     return quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule composite gate (textops.analysis.gopher_rules): per-doc
+    raw measures + one keep verdict; exact DuckDB oracle (long counts and
+    IEEE double divisions only)."""
+    from ner_spark.textops.analysis import gopher_rules
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
 def q_text_langid(spark, sf_dir):
     return lang_id(_t(spark, sf_dir, "documents"))
 
@@ -795,25 +803,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed queries FIRST: the driver's correctness harness checks
     the first 50 dict entries, so oracle-backed operators that have never
     been driver-checked must sit inside that window (round-2 lesson — 4
-    oracle-backed queries fell off the end).  With 59 oracle-backed queries
-    and a 50-entry window, the nine parked outside are the most redundant:
+    oracle-backed queries fell off the end).  With 60 oracle-backed queries
+    and a 50-entry window, the ten parked outside are the most redundant:
     ``embed_lsh_full`` / ``embed_ivf_full`` (oracle SQL literally
     ``embed_knn``'s — degenerate configs ≡ brute force, pytest-pinned in
     tests/test_ann.py, tests/test_ivf.py) and ``salted_count`` /
     ``revenue_rollup`` / ``text_token_stats`` / ``click_only_users`` /
-    ``customers_with_orders`` / ``tpch_q10_like`` / ``revenue_by_nation``
+    ``windowed_event_counts`` / ``customers_with_orders`` /
+    ``tpch_q10_like`` / ``revenue_by_nation``
     (driver-green in BOTH rounds 1 and 2, unchanged since; their devices
     stay in-window via ``salted_join``, ``customers_without_orders``, the
     q1/q3/q5 + cube join-agg family — ``revenue_cube`` strictly subsumes
     the rollup grouping-sets device — the per-doc tokenization devices
-    via ``text_quality`` / ``text_token_bpe`` / ``word_frequency``, and
-    the set-op family via ``common_part_sizes`` INTERSECT +
-    ``customers_without_orders`` anti-join).  That puts the round-3
-    additions ``curate_corpus``, ``pii_scrub``, ``boilerplate_scrub``,
-    ``corpus_split``, ``kgc_triangles``, ``kgc_clustering`` and
-    ``kgc_entity_sim`` under the driver's gate.  All 59 are still checked
-    by tools/check_contract.py locally.  The rows-only queries (sketches
-    / approximate) are last."""
+    via ``text_quality`` / ``text_token_bpe`` / ``word_frequency``, the
+    set-op family via ``common_part_sizes`` INTERSECT +
+    ``customers_without_orders`` anti-join, and the windowing family via
+    ``session_windows`` + ``order_window_shipments``).  That puts the
+    round-3 additions ``curate_corpus``, ``pii_scrub``,
+    ``boilerplate_scrub``, ``corpus_split``, ``kgc_triangles``,
+    ``kgc_clustering``, ``kgc_entity_sim`` and ``gopher_quality`` under
+    the driver's gate.  All 60 are still checked by
+    tools/check_contract.py locally.  The rows-only queries (sketches /
+    approximate) are last."""
     return {
         "tpch_q1": q_tpch_q1,
         "top_order_per_customer": q_top_order_per_customer,
@@ -823,7 +834,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "salted_join": q_salted_join,
         "asof_join_events": q_asof_join_events,
-        "windowed_event_counts": q_windowed_event_counts,
         "session_windows": q_session_windows,
         "order_window_shipments": q_order_window_shipments,
         "distinct_users_exact": q_distinct_users_exact,
@@ -840,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgc_sameas": q_kgc_sameas,
         "kgc_connected_components": q_kgc_connected_components,
         "text_quality": q_text_quality,
+        "gopher_quality": q_gopher_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "word_frequency": q_word_frequency,
@@ -877,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": q_revenue_rollup,
         "text_token_stats": q_text_token_stats,
         "click_only_users": q_click_only_users,
+        "windowed_event_counts": q_windowed_event_counts,
         "customers_with_orders": q_customers_with_orders,
         "tpch_q10_like": q_tpch_q10_like,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1330,6 +1342,36 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                          / greatest(length(text), 1), 4) AS alpha_ratio
             FROM t
+        """,
+        "gopher_quality": f"""
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split(text,' '), x -> x <> '') AS toks,
+                              list_filter(string_split(text, chr(10)), x -> x <> '') AS lns
+                       FROM documents),
+                 m AS (SELECT doc_id,
+                              CAST(len(toks) AS BIGINT) AS n_words,
+                              CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+                                   [CAST(length(x) AS BIGINT) FOR x IN toks])) AS DOUBLE)
+                                  / greatest(len(toks), 1) AS mean_word_len,
+                              CAST(len(list_filter(lns,
+                                   x -> regexp_matches(x, '^[ \t]*[-*•]'))) AS DOUBLE)
+                                  / greatest(len(lns), 1) AS bullet_line_frac,
+                              CAST(len(list_filter(lns,
+                                   x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS DOUBLE)
+                                  / greatest(len(lns), 1) AS ellipsis_line_frac,
+                              CAST(len(list_filter(toks,
+                                   x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                                  / greatest(len(toks), 1) AS alpha_word_frac,
+                              CAST(len(list_intersect(list_distinct(toks),
+                                   [{_STOPWORDS_SQL}])) AS BIGINT) AS n_stop_distinct
+                       FROM t)
+            SELECT *, (n_words >= 50 AND n_words <= 100000
+                       AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                       AND bullet_line_frac <= 0.9
+                       AND ellipsis_line_frac <= 0.3
+                       AND alpha_word_frac >= 0.8
+                       AND n_stop_distinct >= 2) AS keep
+            FROM m
         """,
         "text_langid": f"""
             WITH t AS (SELECT doc_id,

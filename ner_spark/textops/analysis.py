@@ -80,6 +80,58 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def gopher_rules(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_word_frac: float = 0.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """Gopher-style composite quality gate (Rae et al. 2021 §A1.1 rule
+    family, C4-adjacent): per-doc word-count bounds, mean-word-length
+    bounds, bullet-line and ellipsis-line fractions, alphabetic-word
+    fraction, and a distinct-stopword floor — each reported as its raw
+    measure plus one final ``keep`` verdict.  Pure built-in column ops
+    (narrow map, zero shuffles, whole-stage codegen); every measure is a
+    long count or one IEEE double division, so the DuckDB oracle
+    hash-matches bit-exactly."""
+    toks = tokens_col(text_col)
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_words = F.size(toks)
+    d = F.greatest(n_words, F.lit(1))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    mean_len = (F.aggregate(toks, F.lit(0).cast("long"),
+                            lambda acc, x: acc + F.length(x)).cast("double")
+                / d)
+    bullet_frac = (F.size(F.filter(
+        lines, lambda x: x.rlike(r"^[ \t]*[-*•]"))).cast("double")
+        / n_lines)
+    ellipsis_frac = (F.size(F.filter(
+        lines, lambda x: x.rlike(r"(\.\.\.|…)$"))).cast("double")
+        / n_lines)
+    alpha_frac = (F.size(F.filter(
+        toks, lambda x: x.rlike("[A-Za-z]"))).cast("double") / d)
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    out = df.select(
+        F.col(id_col), n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stop_distinct"))
+    keep = ((F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("mean_word_len") >= min_mean_len)
+            & (F.col("mean_word_len") <= max_mean_len)
+            & (F.col("bullet_line_frac") <= max_bullet_frac)
+            & (F.col("ellipsis_line_frac") <= max_ellipsis_frac)
+            & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+            & (F.col("n_stop_distinct") >= min_stop_hits))
+    return out.withColumn("keep", keep)
+
+
 def lang_id(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """Marker-word language scorer; argmax with a deterministic key order.

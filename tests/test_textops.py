@@ -233,3 +233,25 @@ def test_simhash_radius_zero(spark):
     got = {(r.id1, r.id2): r.hamming
            for r in simhash_near_dups(df, max_hamming=0).collect()}
     assert got == {(1, 2): 0}
+
+
+def test_gopher_rules_verdicts(spark):
+    """Hand-built docs exercising each rule branch: a clean passing doc,
+    a too-short doc, a bullet-list doc, and an all-symbol doc."""
+    from ner_spark.textops.analysis import gopher_rules
+
+    clean = ("the quick brown fox jumps over the lazy dog and it was "
+             "seen in a park of old trees for hours ") * 3  # >50 words
+    bullets = "\n".join(f"- item {i} of the list" for i in range(20))
+    symbols = " ".join("$$$" for _ in range(80))
+    df = spark.createDataFrame(
+        [("clean", clean), ("short", "tiny text"),
+         ("bullets", bullets), ("symbols", symbols)],
+        "doc_id string, text string")
+    got = {r.doc_id: r for r in gopher_rules(df, min_words=20).collect()}
+    assert got["clean"].keep
+    assert not got["short"].keep            # word-count floor
+    assert not got["bullets"].keep          # bullet_line_frac = 1.0 > 0.9
+    assert got["bullets"].bullet_line_frac == 1.0
+    assert not got["symbols"].keep          # alpha_word_frac = 0.0
+    assert got["symbols"].alpha_word_frac == 0.0
