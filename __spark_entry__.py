@@ -380,6 +380,19 @@ def q_kgc_entity_sim(spark, sf_dir):
     return neighborhood_similarity(comention_edges(mentions), threshold=0.5)
 
 
+def q_kgc_type_conflicts(spark, sf_dir):
+    """QA pass on sameAs canonicalization: alias clusters whose members
+    carry more than one KB type (deterministic typed fixture,
+    ner_spark/fixtures/redirects.py TYPED_ROWS — same precedent as
+    kgc_sameas).  Exact DuckDB oracle via the same recursive-CTE CC
+    device plus an independently hand-derived edge/type VALUES list."""
+    from ner_spark.fixtures.redirects import typed_rows
+    from ner_spark.kb.build import kb_rows_to_df
+    from ner_spark.pipeline.triples import sameas_type_conflicts
+
+    return sameas_type_conflicts(kb_rows_to_df(spark, typed_rows()))
+
+
 def q_kgc_entity_dates(spark, sf_dir):  # rows-only (date extraction ∉ SQL)
     """Temporal KG edges: (entity, associatedDate, iso, weight) per
     paragraph co-occurrence.  find_dates + dateutil parsing is not
@@ -803,34 +816,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed queries FIRST: the driver's correctness harness checks
     the first 50 dict entries, so oracle-backed operators that have never
     been driver-checked must sit inside that window (round-2 lesson — 4
-    oracle-backed queries fell off the end).  With 60 oracle-backed queries
-    and a 50-entry window, the ten parked outside are the most redundant:
-    ``embed_lsh_full`` / ``embed_ivf_full`` (oracle SQL literally
-    ``embed_knn``'s — degenerate configs ≡ brute force, pytest-pinned in
-    tests/test_ann.py, tests/test_ivf.py) and ``salted_count`` /
-    ``revenue_rollup`` / ``text_token_stats`` / ``click_only_users`` /
-    ``windowed_event_counts`` / ``customers_with_orders`` /
-    ``tpch_q10_like`` / ``revenue_by_nation``
+    oracle-backed queries fell off the end).  With 61 oracle-backed queries
+    and a 50-entry window, the eleven parked outside are the most
+    redundant: ``embed_lsh_full`` / ``embed_ivf_full`` (oracle SQL
+    literally ``embed_knn``'s — degenerate configs ≡ brute force,
+    pytest-pinned in tests/test_ann.py, tests/test_ivf.py) and
+    ``salted_count`` / ``revenue_rollup`` / ``text_token_stats`` /
+    ``click_only_users`` / ``windowed_event_counts`` / ``tpch_q5_like`` /
+    ``customers_with_orders`` / ``tpch_q10_like`` / ``revenue_by_nation``
     (driver-green in BOTH rounds 1 and 2, unchanged since; their devices
     stay in-window via ``salted_join``, ``customers_without_orders``, the
-    q1/q3/q5 + cube join-agg family — ``revenue_cube`` strictly subsumes
-    the rollup grouping-sets device — the per-doc tokenization devices
-    via ``text_quality`` / ``text_token_bpe`` / ``word_frequency``, the
-    set-op family via ``common_part_sizes`` INTERSECT +
-    ``customers_without_orders`` anti-join, and the windowing family via
-    ``session_windows`` + ``order_window_shipments``).  That puts the
-    round-3 additions ``curate_corpus``, ``pii_scrub``,
+    q1/q3 + cube multi-table join-agg family — ``revenue_cube`` strictly
+    subsumes the rollup grouping-sets device — the per-doc tokenization
+    devices via ``text_quality`` / ``text_token_bpe`` /
+    ``word_frequency``, the set-op family via ``common_part_sizes``
+    INTERSECT + ``customers_without_orders`` anti-join, and the windowing
+    family via ``session_windows`` + ``order_window_shipments``).  That
+    puts the round-3 additions ``curate_corpus``, ``pii_scrub``,
     ``boilerplate_scrub``, ``corpus_split``, ``kgc_triangles``,
-    ``kgc_clustering``, ``kgc_entity_sim`` and ``gopher_quality`` under
-    the driver's gate.  All 60 are still checked by
-    tools/check_contract.py locally.  The rows-only queries (sketches /
-    approximate) are last."""
+    ``kgc_clustering``, ``kgc_entity_sim``, ``kgc_type_conflicts`` and
+    ``gopher_quality`` under the driver's gate.  All 61 are still checked
+    by tools/check_contract.py locally.  The rows-only queries (sketches
+    / approximate) are last."""
     return {
         "tpch_q1": q_tpch_q1,
         "top_order_per_customer": q_top_order_per_customer,
         "corpus_split": q_corpus_split,
         "tpch_q3_like": q_tpch_q3_like,
-        "tpch_q5_like": q_tpch_q5_like,
         "customers_without_orders": q_customers_without_orders,
         "salted_join": q_salted_join,
         "asof_join_events": q_asof_join_events,
@@ -848,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgc_clustering": q_kgc_clustering,
         "kgc_entity_sim": q_kgc_entity_sim,
         "kgc_sameas": q_kgc_sameas,
+        "kgc_type_conflicts": q_kgc_type_conflicts,
         "kgc_connected_components": q_kgc_connected_components,
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
@@ -889,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "click_only_users": q_click_only_users,
         "windowed_event_counts": q_windowed_event_counts,
+        "tpch_q5_like": q_tpch_q5_like,
         "customers_with_orders": q_customers_with_orders,
         "tpch_q10_like": q_tpch_q10_like,
         "revenue_by_nation": q_revenue_by_nation,
@@ -958,6 +972,34 @@ def _kgc_sameas_sql() -> str:
 
 
 _KGC_SAMEAS_SQL = _kgc_sameas_sql()
+
+
+def _kgc_type_conflicts_sql() -> str:
+    from ner_spark.fixtures.redirects import (typed_edges_values_sql,
+                                              typed_types_values_sql)
+
+    return f"""
+        WITH RECURSIVE
+          ef AS (SELECT DISTINCT src, dst FROM {typed_edges_values_sql()}
+                 WHERE src <> dst),
+          sym AS (SELECT src, dst FROM ef UNION SELECT dst, src FROM ef),
+          nodes AS (SELECT DISTINCT src AS node FROM sym),
+          walk(node, comp) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.node),
+          mapping AS (SELECT node, min(comp) AS component FROM walk
+                      GROUP BY node)
+        SELECT 'e:' || component AS component,
+               count(*) AS n_nodes,
+               count(DISTINCT kb.type) AS n_types,
+               string_agg(DISTINCT kb.type, ',' ORDER BY kb.type) AS types
+        FROM mapping JOIN {typed_types_values_sql()} ON kb.id = mapping.node
+        GROUP BY component HAVING count(DISTINCT kb.type) > 1
+    """
+
+
+_KGC_TYPE_CONFLICTS_SQL = _kgc_type_conflicts_sql()
 
 
 def _warc_source_sql() -> str:
@@ -1307,6 +1349,7 @@ def oracle_sql() -> dict[str, str]:
                       / CAST(d1.dg + d2.dg - shared AS DOUBLE) >= 0.5
         """,
         "kgc_sameas": _KGC_SAMEAS_SQL,
+        "kgc_type_conflicts": _KGC_TYPE_CONFLICTS_SQL,
         "kgc_connected_components": """
             WITH RECURSIVE
               e AS (SELECT (doc_id % 10) * 100 + doc_id % 7 AS src,

@@ -37,3 +37,39 @@ def edges_values_sql() -> str:
                 pairs.append((r["id"], name_to_id[rname]))
     vals = ", ".join(f"({a}, {b})" for a, b in pairs)
     return f"(VALUES {vals}) AS e(src, dst)"
+
+
+# --- typed variant for the sameAs type-conflict QA query -------------------
+# Two conflicted alias clusters and one homogeneous one; kept SEPARATE from
+# ROWS so the kgc_sameas fixture (and its oracle/goldens) stay untouched.
+TYPED_ROWS = [
+    dict(id=1, type="person", name="Alpha"),
+    dict(id=2, type="thing", name="AlphaOld", redirects="Alpha"),
+    dict(id=3, type="location", name="Gamma"),
+    dict(id=4, type="location", name="GammaAlt", redirects="Gamma"),
+    dict(id=5, type="person", name="Delta"),
+    dict(id=6, type="person", name="DeltaAlias", redirects="Delta"),
+    dict(id=7, type="thing", name="DeltaThing", redirects="DeltaAlias"),
+]
+
+
+def typed_rows() -> list[dict]:
+    return [dict(r) for r in TYPED_ROWS]
+
+
+def typed_edges_values_sql() -> str:
+    """Independent hand-derivation of the TYPED_ROWS edge list (redirect
+    name → id by NAME lookup) as a SQL VALUES clause."""
+    name_to_id = {r["name"]: r["id"] for r in TYPED_ROWS}
+    pairs = []
+    for r in TYPED_ROWS:
+        for rname in (r.get("redirects") or "").split("|"):
+            if rname and rname in name_to_id:
+                pairs.append((r["id"], name_to_id[rname]))
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    return f"(VALUES {vals}) AS e(src, dst)"
+
+
+def typed_types_values_sql() -> str:
+    vals = ", ".join(f"({r['id']}, '{r['type']}')" for r in TYPED_ROWS)
+    return f"(VALUES {vals}) AS kb(id, type)"

@@ -145,6 +145,30 @@ def sameas_mapping(kb_df: DataFrame) -> DataFrame:
     return connected_components(redirect_edges(kb_df))
 
 
+def sameas_type_conflicts(kb_df: DataFrame) -> DataFrame:
+    """(component, n_nodes, n_types, types): alias/redirect clusters whose
+    members carry more than one KB type — the classic KB-merge bug (a
+    redirect chain silently conflating a person with a place).  The QA
+    pass every production sameAs canonicalization needs before the remap
+    is applied.  Plan: the CC mapping (hybrid, cc.py) joined to the KB
+    type column (broadcast-sized), one group agg, a distinct-type filter;
+    ``types`` is the sorted-distinct comma join so the output is
+    deterministic and exactly SQL-comparable."""
+    mapping = sameas_mapping(kb_df)
+    types = kb_df.select(F.col("id").alias("node"), "type")
+    return (
+        mapping.join(F.broadcast(types), "node")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_nodes"),
+             F.countDistinct("type").alias("n_types"),
+             F.array_join(F.sort_array(F.collect_set("type")), ",")
+             .alias("types"))
+        .filter(F.col("n_types") > 1)
+        .select(_e(F.col("component")).alias("component"),
+                "n_nodes", "n_types", "types")
+    )
+
+
 def sameas_triples(mapping: DataFrame) -> DataFrame:
     return (
         mapping.filter(F.col("node") != F.col("component"))

@@ -65,3 +65,17 @@ def test_sameas_redirect_fixture(spark):
            sameas_triples(sameas_mapping(kb_df)).collect()}
     assert got == {("e:2", "e:1"), ("e:3", "e:1"), ("e:4", "e:1"),
                    ("e:5", "e:1"), ("e:7", "e:6")}
+
+
+def test_sameas_type_conflicts(spark):
+    """Typed redirect fixture: clusters {1,2} (person+thing) and {5,6,7}
+    (person+thing) conflict; {3,4} (location only) must not appear."""
+    from ner_spark.fixtures.redirects import typed_rows
+    from ner_spark.kb.build import kb_rows_to_df
+    from ner_spark.pipeline.triples import sameas_type_conflicts
+
+    got = {r.component: (r.n_nodes, r.n_types, r.types)
+           for r in sameas_type_conflicts(
+               kb_rows_to_df(spark, typed_rows())).collect()}
+    assert got == {"e:1": (2, 2, "person,thing"),
+                   "e:5": (3, 2, "person,thing")}

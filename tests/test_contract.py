@@ -62,7 +62,8 @@ _REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {"salted_count", "customers_with_orders",
                                        "tpch_q10_like", "revenue_by_nation",
                                        "revenue_rollup", "text_token_stats",
                                        "click_only_users",
-                                       "windowed_event_counts"}
+                                       "windowed_event_counts",
+                                       "tpch_q5_like"}
 
 
 def test_every_oracle_has_a_query_and_matching_order():
