@@ -380,6 +380,22 @@ def q_kgc_entity_sim(spark, sf_dir):
     return neighborhood_similarity(comention_edges(mentions), threshold=0.5)
 
 
+def q_kgc_negative_samples(spark, sf_dir):
+    """Link-prediction training negatives: 2 deterministic hash-picked
+    corrupted objects per co-mention edge (operators.corrupt_triples);
+    md5-hex→BIGINT renders identically in Spark and DuckDB, so the
+    sampler is exactly oracle-checked."""
+    from ner_spark.fixtures.dockb import dockb_rows
+    from ner_spark.operators import corrupt_triples
+
+    art = compile_dockb(spark)
+    mentions = extract_mentions(_docs_as_pages(spark, sf_dir), art)
+    pos = comention_edges(mentions)
+    ents = spark.createDataFrame([(f"e:{r['id']}",) for r in dockb_rows()],
+                                 "id string")
+    return corrupt_triples(pos, ents, k=2)
+
+
 def q_kgc_type_conflicts(spark, sf_dir):
     """QA pass on sameAs canonicalization: alias clusters whose members
     carry more than one KB type (deterministic typed fixture,
@@ -816,28 +832,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed queries FIRST: the driver's correctness harness checks
     the first 50 dict entries, so oracle-backed operators that have never
     been driver-checked must sit inside that window (round-2 lesson — 4
-    oracle-backed queries fell off the end).  With 61 oracle-backed queries
-    and a 50-entry window, the eleven parked outside are the most
+    oracle-backed queries fell off the end).  With 62 oracle-backed queries
+    and a 50-entry window, the twelve parked outside are the most
     redundant: ``embed_lsh_full`` / ``embed_ivf_full`` (oracle SQL
     literally ``embed_knn``'s — degenerate configs ≡ brute force,
     pytest-pinned in tests/test_ann.py, tests/test_ivf.py) and
     ``salted_count`` / ``revenue_rollup`` / ``text_token_stats`` /
     ``click_only_users`` / ``windowed_event_counts`` / ``tpch_q5_like`` /
-    ``customers_with_orders`` / ``tpch_q10_like`` / ``revenue_by_nation``
+    ``distinct_users_exact`` / ``customers_with_orders`` /
+    ``tpch_q10_like`` / ``revenue_by_nation``
     (driver-green in BOTH rounds 1 and 2, unchanged since; their devices
     stay in-window via ``salted_join``, ``customers_without_orders``, the
     q1/q3 + cube multi-table join-agg family — ``revenue_cube`` strictly
     subsumes the rollup grouping-sets device — the per-doc tokenization
     devices via ``text_quality`` / ``text_token_bpe`` /
     ``word_frequency``, the set-op family via ``common_part_sizes``
-    INTERSECT + ``customers_without_orders`` anti-join, and the windowing
-    family via ``session_windows`` + ``order_window_shipments``).  That
-    puts the round-3 additions ``curate_corpus``, ``pii_scrub``,
+    INTERSECT + ``customers_without_orders`` anti-join, the windowing
+    family via ``session_windows`` + ``order_window_shipments``, and the
+    count-distinct device via ``kgc_type_conflicts``'s ``n_types``).
+    That puts the round-3 additions ``curate_corpus``, ``pii_scrub``,
     ``boilerplate_scrub``, ``corpus_split``, ``kgc_triangles``,
-    ``kgc_clustering``, ``kgc_entity_sim``, ``kgc_type_conflicts`` and
-    ``gopher_quality`` under the driver's gate.  All 61 are still checked
-    by tools/check_contract.py locally.  The rows-only queries (sketches
-    / approximate) are last."""
+    ``kgc_clustering``, ``kgc_entity_sim``, ``kgc_type_conflicts``,
+    ``kgc_negative_samples`` and ``gopher_quality`` under the driver's
+    gate.  All 62 are still checked by tools/check_contract.py locally.
+    The rows-only queries (sketches / approximate) are last."""
     return {
         "tpch_q1": q_tpch_q1,
         "top_order_per_customer": q_top_order_per_customer,
@@ -848,7 +866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "session_windows": q_session_windows,
         "order_window_shipments": q_order_window_shipments,
-        "distinct_users_exact": q_distinct_users_exact,
         "event_props_json": q_event_props_json,
         "event_value_quantiles": q_event_value_quantiles,
         "kgc_mention_counts": q_kgc_mention_counts,
@@ -861,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgc_entity_sim": q_kgc_entity_sim,
         "kgc_sameas": q_kgc_sameas,
         "kgc_type_conflicts": q_kgc_type_conflicts,
+        "kgc_negative_samples": q_kgc_negative_samples,
         "kgc_connected_components": q_kgc_connected_components,
         "text_quality": q_text_quality,
         "gopher_quality": q_gopher_quality,
@@ -903,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_only_users": q_click_only_users,
         "windowed_event_counts": q_windowed_event_counts,
         "tpch_q5_like": q_tpch_q5_like,
+        "distinct_users_exact": q_distinct_users_exact,
         "customers_with_orders": q_customers_with_orders,
         "tpch_q10_like": q_tpch_q10_like,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1350,6 +1369,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kgc_sameas": _KGC_SAMEAS_SQL,
         "kgc_type_conflicts": _KGC_TYPE_CONFLICTS_SQL,
+        "kgc_negative_samples": f"""
+            WITH m AS ({_kgc_matches()}),
+                 d AS (SELECT DISTINCT url, id FROM m),
+                 pos AS (SELECT DISTINCT 'e:' || a.id AS subj,
+                                'coMentionedWith' AS pred,
+                                'e:' || b.id AS obj
+                         FROM d a JOIN d b USING (url) WHERE a.id < b.id),
+                 pool AS (SELECT 'e:' || id AS neg_obj,
+                                 row_number() OVER (ORDER BY 'e:' || id) - 1
+                                     AS idx
+                          FROM {_kb_values()}),
+                 reps AS (SELECT subj, pred, obj, r AS neg_rank
+                          FROM pos CROSS JOIN (VALUES (1), (2)) t(r)),
+                 c AS (SELECT subj, pred, obj, neg_rank,
+                              CAST(concat('0x', substring(md5(
+                                   concat_ws('|', subj, pred, obj,
+                                             neg_rank)), 1, 8)) AS BIGINT)
+                                  % (SELECT count(*) FROM pool) AS idx
+                       FROM reps)
+            SELECT subj, pred, obj, neg_rank, neg_obj
+            FROM c JOIN pool USING (idx) WHERE neg_obj <> obj
+        """,
         "kgc_connected_components": """
             WITH RECURSIVE
               e AS (SELECT (doc_id % 10) * 100 + doc_id % 7 AS src,

@@ -54,7 +54,7 @@ HEADLINE = [
     "dedup_clusters", "pack_sequences", "source_quota", "embed_kmeans",
     "pii_scrub", "boilerplate_scrub", "corpus_split", "kgc_triangles",
     "kgc_entity_sim", "kgc_kcore", "kgc_entity_dates", "kgc_clustering",
-    "gopher_quality", "kgc_type_conflicts",
+    "gopher_quality", "kgc_type_conflicts", "kgc_negative_samples",
 ]
 
 

@@ -138,3 +138,40 @@ def stable_split(df: DataFrame, key_col: str,
     col = F.lit(ths[-1][0]) if col is None else col.otherwise(
         F.lit(ths[-1][0]))
     return df.withColumn(out_col, col)
+
+
+def corrupt_triples(triples: DataFrame, entities: DataFrame, k: int = 2,
+                    subj_col: str = "subj", pred_col: str = "pred",
+                    obj_col: str = "obj",
+                    ent_col: str = "id") -> DataFrame:
+    """Deterministic negative sampling for KG link-prediction training:
+    ``k`` corrupted variants per positive triple, the object replaced by
+    ``entities[md5(subj|pred|obj|rank) mod n]`` over the id-sorted entity
+    pool.  Corruptions equal to the true object are dropped (standard
+    filtered sampling), so a triple can yield < k rows.
+
+    Hash-based, not ``rand()`` — stable across reruns and partitionings
+    (the property corpus-splitting already relies on,
+    :func:`stable_split`), and md5-hex→BIGINT renders identically in
+    Spark and ANSI engines so the sampler is exactly oracle-checkable.
+    Plan: the entity pool is indexed with one global-order row_number
+    (entity table is KB-sized — the same bounded-small-side assumption
+    as every broadcast in this engine) and joined back by index as a
+    broadcast; the pool size enters the plan as a broadcast one-row
+    count (no driver action during query construction)."""
+    ents = entities.select(
+        F.col(ent_col).cast("string").alias("neg_obj")).distinct()
+    indexed = ents.withColumn(
+        "idx", F.row_number().over(Window.orderBy("neg_obj")) - 1)
+    pool_n = indexed.agg(F.count(F.lit(1)).alias("_n"))
+    reps = triples.select(subj_col, pred_col, obj_col).withColumn(
+        "neg_rank", F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)])))
+    key = F.concat_ws("|", F.col(subj_col), F.col(pred_col),
+                      F.col(obj_col), F.col("neg_rank"))
+    h = F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10) \
+        .cast("long")
+    cands = reps.crossJoin(F.broadcast(pool_n)) \
+        .withColumn("idx", h % F.col("_n")).drop("_n")
+    return (cands.join(F.broadcast(indexed), "idx")
+            .filter(F.col("neg_obj") != F.col(obj_col))
+            .select(subj_col, pred_col, obj_col, "neg_rank", "neg_obj"))

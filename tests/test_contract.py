@@ -63,7 +63,8 @@ _REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {"salted_count", "customers_with_orders",
                                        "revenue_rollup", "text_token_stats",
                                        "click_only_users",
                                        "windowed_event_counts",
-                                       "tpch_q5_like"}
+                                       "tpch_q5_like",
+                                       "distinct_users_exact"}
 
 
 def test_every_oracle_has_a_query_and_matching_order():

@@ -198,3 +198,25 @@ def test_split_thresholds_cover_full_hash_space():
     ths = split_thresholds({"train": 1 / 3, "val": 1 / 3, "test": 1 / 3})
     assert ths[-1] == ("test", "ffffffff")  # forced closure of the range
     assert ths[0][1] < ths[1][1] <= ths[-1][1]
+
+
+def test_corrupt_triples_deterministic_and_filtered(spark):
+    from ner_spark.operators import corrupt_triples
+
+    pos = spark.createDataFrame(
+        [("e:1", "p", "e:2"), ("e:3", "p", "e:4")],
+        "subj string, pred string, obj string")
+    ents = spark.createDataFrame([(f"e:{i}",) for i in range(1, 6)],
+                                 "id string")
+    a = sorted(map(tuple, corrupt_triples(pos, ents, k=3).collect()))
+    b = sorted(map(tuple, corrupt_triples(
+        pos.repartition(7), ents, k=3).collect()))
+    assert a == b and len(a) > 0          # rerun/partitioning stability
+    pool = {f"e:{i}" for i in range(1, 6)}
+    for subj, pred, obj, rank, neg in a:
+        assert neg in pool and neg != obj  # filtered sampling
+        assert 1 <= rank <= 3
+    # a triple may yield < k rows, never more
+    from collections import Counter
+    per = Counter((s, p, o) for s, p, o, _, _ in a)
+    assert all(v <= 3 for v in per.values())
