@@ -429,6 +429,16 @@ def q_kgc_entity_dates(spark, sf_dir):  # rows-only (date extraction ∉ SQL)
     return entity_date_edges(extract_mentions(df, art))
 
 
+def q_kgc_communities(spark, sf_dir):  # rows-only (iterative fixpoint)
+    """Deterministic label-propagation communities over the co-mention
+    graph (10 sync rounds, min-label ties); both hybrid paths pinned
+    equal in tests/test_graph.py."""
+    from ner_spark.pipeline.graph import label_propagation
+    art = compile_dockb(spark)
+    mentions = extract_mentions(_docs_as_pages(spark, sf_dir), art)
+    return label_propagation(comention_edges(mentions))
+
+
 def q_kgc_kcore(spark, sf_dir):  # rows-only (iterative peel fixpoint)
     """3-core of the co-mention graph (node + within-core degree) — the
     standard noise prune of a constructed KG.  Peeling is an iterative
@@ -929,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_hll": q_distinct_users_hll,
         "kgc_pagerank": q_kgc_pagerank,
         "kgc_kcore": q_kgc_kcore,
+        "kgc_communities": q_kgc_communities,
         "kgc_entity_dates": q_kgc_entity_dates,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,

@@ -55,6 +55,7 @@ HEADLINE = [
     "pii_scrub", "boilerplate_scrub", "corpus_split", "kgc_triangles",
     "kgc_entity_sim", "kgc_kcore", "kgc_entity_dates", "kgc_clustering",
     "gopher_quality", "kgc_type_conflicts", "kgc_negative_samples",
+    "kgc_communities",
 ]
 
 

@@ -255,6 +255,79 @@ def kcore(edges: DataFrame, k: int = 3, src: str = "subj",
     return sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
 
 
+def label_propagation(edges: DataFrame, n_iter: int = 10,
+                      src: str = "subj", dst: str = "obj",
+                      driver_threshold: int = 2_000_000) -> DataFrame:
+    """(node, community): synchronous label propagation with the
+    deterministic min-label tie-break — the cheap community detector for
+    a co-mention KG (topic/story clusters without a modularity solver).
+    Every node starts as its own label; each round every node adopts the
+    most frequent label among its neighbors, ties broken by the SMALLEST
+    label so the result is exactly reproducible (plain LPA's random
+    tie-break is not).  Fixed ``n_iter`` synchronous rounds (classic LPA
+    oscillates on bipartite structures; a fixed budget with deterministic
+    ties is the reproducible contract — same statistic both hybrid
+    paths).
+
+    Hybrid like :func:`pagerank`: small edge sets run a pure-Python loop
+    driver-side; larger graphs run the distributed rounds — each is one
+    shuffle (neighbor-label count) + one argmax agg, with
+    ``localCheckpoint`` truncating lineage.  Rows-only in the driver
+    gate (iterative fixpoint ∉ one SQL query); both paths pinned equal
+    in tests/test_graph.py."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter("u <> v")
+         .select(F.least("u", "v").alias("u"),
+                 F.greatest("u", "v").alias("v"))
+         .distinct())
+    spark = edges.sparkSession
+    if driver_threshold:
+        e = e.persist()
+        if e.count() <= driver_threshold:
+            pdf = e.toPandas()
+            pairs = list(zip(pdf["u"].to_list(), pdf["v"].to_list()))
+            e.unpersist()
+            adj: dict = {}
+            for a, b in pairs:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            label = {n: n for n in adj}
+            for _ in range(n_iter):
+                nxt = {}
+                for n, nbrs in adj.items():
+                    freq: dict = {}
+                    for nb in nbrs:
+                        lb = label[nb]
+                        freq[lb] = freq.get(lb, 0) + 1
+                    top = max(freq.values())
+                    # min label among the max-frequency ones
+                    nxt[n] = min(lb for lb, c in freq.items() if c == top)
+                label = nxt
+            rows = [(str(n), str(l)) for n, l in sorted(label.items())]
+            return spark.createDataFrame(
+                rows, "node string, community string") if rows else \
+                spark.createDataFrame([], "node string, community string")
+    sym = (e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+           .unionByName(e.select(F.col("v").alias("node"),
+                                 F.col("u").alias("nbr"))))
+    sym = sym.localCheckpoint()
+    labels = sym.select("node").distinct() \
+        .withColumn("community", F.col("node")).localCheckpoint()
+    for _ in range(n_iter):
+        counts = (sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+                  .groupBy("node", "community")
+                  .agg(F.count(F.lit(1)).alias("c")))
+        labels = (counts.withColumn(
+                      "rk", F.row_number().over(
+                          Window.partitionBy("node").orderBy(
+                              F.col("c").desc(), F.col("community").asc())))
+                  .filter(F.col("rk") == 1)
+                  .select("node", "community").localCheckpoint())
+    return labels.select(F.col("node").cast("string").alias("node"),
+                         F.col("community").cast("string")
+                         .alias("community")).orderBy("node")
+
+
 def _driver_pagerank(spark, pairs: list[tuple[int, int]], n_iter: int,
                      damping: float) -> DataFrame:
     """numpy power iteration — exact same result as the distributed loop,

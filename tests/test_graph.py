@@ -206,3 +206,25 @@ def test_clustering_coefficient_known_graph(spark):
     assert got["e:1"] == (3, 3, 1.0)
     assert got["e:4"] == (4, 3, 0.5)
     assert got["e:5"] == (1, 0, 0.0)
+
+
+def test_label_propagation_paths_agree_and_find_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: deterministic LPA must
+    give each clique one community, and the driver and distributed paths
+    must agree exactly (same sync update, same min-label tie-break)."""
+    from ner_spark.pipeline.graph import label_propagation
+
+    c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+    edges = c1 + c2 + [(4, 5)]
+    df = spark.createDataFrame(
+        [(f"e:{a}", f"e:{b}") for a, b in edges], "subj string, obj string")
+    drv = {r.node: r.community
+           for r in label_propagation(df, n_iter=10).collect()}
+    dist = {r.node: r.community
+            for r in label_propagation(df, n_iter=10,
+                                       driver_threshold=0).collect()}
+    assert drv == dist
+    assert len({drv[f"e:{n}"] for n in range(1, 4)}) == 1   # clique 1 coheres
+    assert len({drv[f"e:{n}"] for n in range(6, 9)}) == 1   # clique 2 coheres
+    assert drv["e:1"] != drv["e:8"]                          # two communities
