@@ -1441,7 +1441,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": f"""
             WITH t AS (SELECT doc_id,
                               list_filter(string_split(text,' '), x -> x <> '') AS toks,
-                              list_filter(string_split(text, chr(10)), x -> x <> '') AS lns
+                              list_filter(string_split_regex(text, '\r?\n'), x -> x <> '') AS lns
                        FROM documents),
                  m AS (SELECT doc_id,
                               CAST(len(toks) AS BIGINT) AS n_words,
@@ -1452,7 +1452,7 @@ def oracle_sql() -> dict[str, str]:
                                    x -> regexp_matches(x, '^[ \t]*[-*•]'))) AS DOUBLE)
                                   / greatest(len(lns), 1) AS bullet_line_frac,
                               CAST(len(list_filter(lns,
-                                   x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS DOUBLE)
+                                   x -> regexp_matches(x, '(\\.\\.\\.|…)\\z'))) AS DOUBLE)
                                   / greatest(len(lns), 1) AS ellipsis_line_frac,
                               CAST(len(list_filter(toks,
                                    x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)

@@ -25,18 +25,24 @@ def redirect_rows() -> list[dict]:
     return [dict(r) for r in ROWS]
 
 
-def edges_values_sql() -> str:
-    """The (src, dst) edge list the KB implies, as a SQL VALUES clause —
-    an independent hand-derivation (redirect name → id by NAME lookup),
-    used to build the DuckDB oracle."""
-    name_to_id = {r["name"]: r["id"] for r in ROWS}
+def _edges_values_sql(rows: list[dict]) -> str:
+    """The (src, dst) edge list a KB row set implies, as a SQL VALUES
+    clause — an independent hand-derivation (redirect name → id by NAME
+    lookup) used to build the DuckDB oracles.  The independence that
+    matters is Spark-path vs SQL-path, so both fixtures sharing this
+    derivation loses nothing and keeps the '|'-split in one place."""
+    name_to_id = {r["name"]: r["id"] for r in rows}
     pairs = []
-    for r in ROWS:
+    for r in rows:
         for rname in (r.get("redirects") or "").split("|"):
             if rname and rname in name_to_id:
                 pairs.append((r["id"], name_to_id[rname]))
     vals = ", ".join(f"({a}, {b})" for a, b in pairs)
     return f"(VALUES {vals}) AS e(src, dst)"
+
+
+def edges_values_sql() -> str:
+    return _edges_values_sql(ROWS)
 
 
 # --- typed variant for the sameAs type-conflict QA query -------------------
@@ -58,16 +64,7 @@ def typed_rows() -> list[dict]:
 
 
 def typed_edges_values_sql() -> str:
-    """Independent hand-derivation of the TYPED_ROWS edge list (redirect
-    name → id by NAME lookup) as a SQL VALUES clause."""
-    name_to_id = {r["name"]: r["id"] for r in TYPED_ROWS}
-    pairs = []
-    for r in TYPED_ROWS:
-        for rname in (r.get("redirects") or "").split("|"):
-            if rname and rname in name_to_id:
-                pairs.append((r["id"], name_to_id[rname]))
-    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
-    return f"(VALUES {vals}) AS e(src, dst)"
+    return _edges_values_sql(TYPED_ROWS)
 
 
 def typed_types_values_sql() -> str:

@@ -26,6 +26,17 @@ def degree_centrality(edges: DataFrame, src: str = "subj",
         F.sum("w").alias("weighted_degree"))
 
 
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge canonicalization shared by every graph operator:
+    drop self-loops, order endpoints (u < v), collapse duplicates and
+    reversals.  One place, so null/ordering fixes cannot diverge."""
+    return (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter("u <> v")
+            .select(F.least("u", "v").alias("u"),
+                    F.greatest("u", "v").alias("v"))
+            .distinct())
+
+
 def triangle_count(edges: DataFrame, src: str = "subj",
                    dst: str = "obj") -> DataFrame:
     """(node, triangles): how many triangles each node participates in,
@@ -48,13 +59,19 @@ def triangle_count(edges: DataFrame, src: str = "subj",
     both are referenced by several joins below, and without a cache each
     reference recomputes the (possibly expensive) upstream that produced
     the edges — at any scale the edge list is the thing to materialize
-    once (it is KB-sized next to the corpus).
+    once (it is KB-sized next to the corpus).  The caches live for the
+    returned DataFrame's lifetime (the lazy result reads them);
+    re-invocations dedup via Spark's canonicalized-plan cache manager.
     """
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .filter("u <> v")
-         .select(F.least("u", "v").alias("u"),
-                 F.greatest("u", "v").alias("v"))
-         .distinct()).persist()
+    return _triangles_canonical(
+        _canonical_edges(edges, src, dst).persist())
+
+
+def _triangles_canonical(e: DataFrame) -> DataFrame:
+    """Core of :func:`triangle_count` over an ALREADY canonical (and
+    ideally persisted) (u, v) edge list — shared with
+    :func:`clustering_coefficient` so it does not pay a second
+    canonicalization shuffle and cache copy."""
     deg = (e.select(F.col("u").alias("node"))
            .unionByName(e.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
@@ -89,15 +106,11 @@ def clustering_coefficient(edges: DataFrame, src: str = "subj",
     ones.  Reuses :func:`triangle_count` (same O(m^1.5) plan) plus one
     degree agg and a left join; the division is one IEEE double op on
     longs, so the DuckDB oracle hash-matches bit-exactly."""
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .filter("u <> v")
-         .select(F.least("u", "v").alias("u"),
-                 F.greatest("u", "v").alias("v"))
-         .distinct()).persist()
+    e = _canonical_edges(edges, src, dst).persist()
     deg = (e.select(F.col("u").alias("node"))
            .unionByName(e.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
-    tri = triangle_count(e, src="u", dst="v")
+    tri = _triangles_canonical(e)
     return (deg.join(tri, "node", "left")
             .select("node", "degree",
                     F.coalesce("triangles", F.lit(0)).alias("triangles"))
@@ -132,11 +145,7 @@ def neighborhood_similarity(edges: DataFrame, threshold: float = 0.5,
     bounded by the max co-mention degree (KB-sized, not corpus-sized);
     at true web scale cap or hub-split them before this operator.
     """
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .filter("u <> v")
-         .select(F.least("u", "v").alias("u"),
-                 F.greatest("u", "v").alias("v"))
-         .distinct())
+    e = _canonical_edges(edges, src, dst)
     # the symmetric adjacency is read by three consumers (degree count,
     # prefix ranking, adjacency sets) — persist so the upstream that
     # produced the edges runs once, not per consumer (KB-sized cache)
@@ -202,11 +211,7 @@ def kcore(edges: DataFrame, k: int = 3, src: str = "subj",
     degree agg + one semi-join filter, ``localCheckpoint`` truncating
     lineage.  Round count is bounded by the peel depth (≤ max coreness
     shells, in practice a handful), not by graph size."""
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .filter("u <> v")
-         .select(F.least("u", "v").alias("u"),
-                 F.greatest("u", "v").alias("v"))
-         .distinct())
+    e = _canonical_edges(edges, src, dst)
     spark = edges.sparkSession
     if driver_threshold:
         # parallel probe + Arrow gather from cache (cc.py pattern): never
@@ -236,6 +241,8 @@ def kcore(edges: DataFrame, k: int = 3, src: str = "subj",
                 if rows else spark.createDataFrame([],
                                                    "node string, degree long")
     cur = e.localCheckpoint()
+    if driver_threshold:
+        e.unpersist()  # checkpoint holds the data now (cc.py invariant)
     n_edges = cur.count()
     while True:
         sym = (cur.select(F.col("u").alias("node"))
@@ -275,11 +282,7 @@ def label_propagation(edges: DataFrame, n_iter: int = 10,
     ``localCheckpoint`` truncating lineage.  Rows-only in the driver
     gate (iterative fixpoint ∉ one SQL query); both paths pinned equal
     in tests/test_graph.py."""
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .filter("u <> v")
-         .select(F.least("u", "v").alias("u"),
-                 F.greatest("u", "v").alias("v"))
-         .distinct())
+    e = _canonical_edges(edges, src, dst)
     spark = edges.sparkSession
     if driver_threshold:
         e = e.persist()
@@ -311,6 +314,8 @@ def label_propagation(edges: DataFrame, n_iter: int = 10,
            .unionByName(e.select(F.col("v").alias("node"),
                                  F.col("u").alias("nbr"))))
     sym = sym.localCheckpoint()
+    if driver_threshold:
+        e.unpersist()  # checkpoint holds the data now (cc.py invariant)
     labels = sym.select("node").distinct() \
         .withColumn("community", F.col("node")).localCheckpoint()
     for _ in range(n_iter):

@@ -97,7 +97,11 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
     long count or one IEEE double division, so the DuckDB oracle
     hash-matches bit-exactly."""
     toks = tokens_col(text_col)
-    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
+    # split on \r?\n so CRLF text yields \r-free lines, and anchor the
+    # ellipsis test with \z: Java's non-MULTILINE `$` also matches just
+    # before a final line terminator while RE2's does not — \z means
+    # end-of-text in BOTH engines, so the oracle cannot diverge on \r
+    lines = F.filter(F.split(F.col(text_col), "\r?\n"), lambda x: x != "")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_words = F.size(toks)
     d = F.greatest(n_words, F.lit(1))
@@ -109,7 +113,7 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
         lines, lambda x: x.rlike(r"^[ \t]*[-*•]"))).cast("double")
         / n_lines)
     ellipsis_frac = (F.size(F.filter(
-        lines, lambda x: x.rlike(r"(\.\.\.|…)$"))).cast("double")
+        lines, lambda x: x.rlike(r"(\.\.\.|…)\z"))).cast("double")
         / n_lines)
     alpha_frac = (F.size(F.filter(
         toks, lambda x: x.rlike("[A-Za-z]"))).cast("double") / d)

@@ -23,11 +23,11 @@ def test_streaming_comention_incremental_equals_batch(
     schema = "url string, text string"
     inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
 
-    def write(rows, fname):
+    def write(rows):
         spark.createDataFrame([(p["url"], p["text"]) for p in rows], schema) \
             .coalesce(1).write.mode("append").parquet(inp)
 
-    write(pages_rows[:half], "a")
+    write(pages_rows[:half])
     q = run_comention_counts(spark, inp, ckpt, schema, artifacts, "cmt1")
     q.awaitTermination(120)
     got1 = {(r.subj, r.obj): r.weight
@@ -36,7 +36,7 @@ def test_streaming_comention_incremental_equals_batch(
     assert len(got1) > 0
 
     # second increment: new files only are processed; state carries over
-    write(pages_rows[half:], "b")
+    write(pages_rows[half:])
     q = run_comention_counts(spark, inp, ckpt, schema, artifacts, "cmt2")
     q.awaitTermination(120)
     got2 = {(r.subj, r.obj): r.weight

@@ -255,3 +255,16 @@ def test_gopher_rules_verdicts(spark):
     assert got["bullets"].bullet_line_frac == 1.0
     assert not got["symbols"].keep          # alpha_word_frac = 0.0
     assert got["symbols"].alpha_word_frac == 0.0
+
+
+def test_gopher_rules_crlf_lines(spark):
+    """CRLF text: lines are split on \\r?\\n and the ellipsis anchor is
+    \\z in BOTH engines, so a '...\\r\\n' line counts on the Spark side
+    exactly as in the oracle (Java `$` would match before a trailing
+    \\r; RE2 `$` would not — the class of divergence this pins out)."""
+    from ner_spark.textops.analysis import gopher_rules
+
+    text = "first line...\r\nsecond line\r\nthird...\r\n"
+    df = spark.createDataFrame([("d", text)], "doc_id string, text string")
+    r = gopher_rules(df, min_words=1).collect()[0]
+    assert r.ellipsis_line_frac == 2 / 3
