@@ -166,14 +166,11 @@ class GazetteerAutomaton:
         typical text is a small fraction of words (most fail the ``first``
         probe and cost exactly one dict lookup).  Observably identical to
         walking :func:`tokenize` output."""
-        texts: list[str] = []
-        starts: list[int] = []
-        ends: list[int] = []
-        t_app, s_app, e_app = texts.append, starts.append, ends.append
-        for mo in _TOKEN_RE.finditer(text):
-            t_app(mo.group())
-            s_app(mo.start())
-            e_app(mo.end())
+        # two C-side passes beat one Python loop with three appends:
+        # findall materializes the token strings without match objects,
+        # and the span listcomp is one method call per token
+        texts: list[str] = _TOKEN_RE.findall(text)
+        spans = [mo.span() for mo in _TOKEN_RE.finditer(text)]
         out: list[Match] = []
         keys = self.keys
         prefixes = self.prefixes
@@ -197,7 +194,8 @@ class GazetteerAutomaton:
                     break
                 if j + 1 >= nw:
                     break  # EOF acts as a strong delimiter
-                gap_s, gap_e = ends[j], starts[j + 1]
+                gap_s = spans[j][1]
+                gap_e = spans[j + 1][0]
                 if gap_s == gap_e:
                     sep = ""
                 else:
@@ -208,8 +206,8 @@ class GazetteerAutomaton:
                 j += 1
                 path = path + sep + texts[j]
             if best_ids is not None:
-                start = starts[i]
-                end = ends[best_j]
+                start = spans[i][0]
+                end = spans[best_j][1]
                 out.append(Match(best_ids, start, end, text[start:end]))
                 i = best_j + 1  # consume matched words → no overlaps
             else:

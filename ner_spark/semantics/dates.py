@@ -165,13 +165,43 @@ def _parse_one(s: str) -> ISODate | None:
 
 _ANY_DIGIT_RE = re.compile(r"\d")
 
+# Every alternative in _PATTERNS starts with either a digit or one of the
+# 12 Czech month stems (led/úno/bře/dub/kvě/čer/čec/srp/zář/ríj/lis/pro —
+# červenec/července share the čer stem), so a full-document finditer with
+# the huge alternation can be replaced by anchored ``match`` attempts at
+# exactly those candidate positions: the group-1 start of any _ALL_RE
+# match is necessarily a candidate, and the full match starts one char
+# earlier (the consumed ``\\W``) or at offset 0 (the ``^`` branch).  The
+# candidate prefilter is a tiny alternation the regex engine scans at
+# C memchr speed; equivalence with the plain finditer loop is pinned by
+# tests/test_dates.py's differential property test.
+_CAND_RE = re.compile(r"(?i)\d|led|úno|bře|dub|kvě|čer|čec|srp|zář|ríj|lis|pro")
+
+
+def _scan_candidates(text: str):
+    """Yield _ALL_RE matches exactly as ``_ALL_RE.finditer(text)`` would."""
+    pos = 0
+    match = _ALL_RE.match
+    for cm in _CAND_RE.finditer(text):
+        p = cm.start()
+        if p == 0:
+            anchor = 0          # the ^ branch of _START
+        elif p - 1 >= pos:
+            anchor = p - 1      # the \W branch consumes text[p-1]
+        else:
+            continue            # would start inside/before the scan position
+        m = match(text, anchor)
+        if m is not None:
+            yield m
+            pos = m.end()
+
 
 def find_dates(text: str, split_interval: bool = True) -> list[DateMatch]:
     """Reference ``find_dates`` semantics (dates.py:343-402)."""
     out: list[DateMatch] = []
     if not _ANY_DIGIT_RE.search(text):
         return out  # every date pattern requires a digit; skip the big scan
-    for m in _ALL_RE.finditer(text):
+    for m in _scan_candidates(text):
         s = m.group(1)
         start = m.start(1)
         unsure = bool(_UNSURE_RE.search(s))

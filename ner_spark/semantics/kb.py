@@ -197,6 +197,11 @@ class KBBundle:
     _artist_flag: list = field(default_factory=list, repr=False)
     _group_flag: list = field(default_factory=list, repr=False)
     _person_sub: list = field(default_factory=list, repr=False)
+    _loc_sub: list = field(default_factory=list, repr=False)
+    _geo_sub: list = field(default_factory=list, repr=False)
+    _country_arr: list = field(default_factory=list, repr=False)
+    _score_np: object = field(default=None, repr=False)
+    _ctx_kind_np: object = field(default=None, repr=False)
 
     # -- reference accessor surface ------------------------------------
     def n_rows(self) -> int:
@@ -298,6 +303,42 @@ class KBBundle:
         if not self._person_sub:
             self._person_sub = ["person" in t for t in self.type_arr()]
         return self._person_sub
+
+    def geo_sub_flag_arr(self) -> list:
+        """flag[line] == 'geo' in type string (context.py:121-126's
+        country-bump branch test)."""
+        if not self._geo_sub:
+            self._geo_sub = ["geo" in t for t in self.type_arr()]
+        return self._geo_sub
+
+    def country_arr(self) -> list:
+        """country_arr()[line] == get_data_for(line, 'COUNTRY')."""
+        if not self._country_arr:
+            self._country_arr = [str(x or "") for x in self.cols["country"]]
+        return self._country_arr
+
+    def loc_sub_flag_arr(self) -> list:
+        """flag[line] == 'location' in type string (context.py:185-207's
+        pronoun-register branch test)."""
+        if not self._loc_sub:
+            self._loc_sub = ["location" in t for t in self.type_arr()]
+        return self._loc_sub
+
+    # numpy twins of score_arr / ctx_kind_arr for the batched
+    # disambiguation pre-pass (resolve.disambiguate_all_with_context):
+    # one fancy-indexed gather per document replaces per-mention list
+    # indexing.  Values identical to the list forms by construction.
+    def score_np(self):
+        if self._score_np is None:
+            import numpy as np
+            self._score_np = np.asarray(self.score_arr(), dtype=np.float64)
+        return self._score_np
+
+    def ctx_kind_np(self):
+        if self._ctx_kind_np is None:
+            import numpy as np
+            self._ctx_kind_np = np.asarray(self.ctx_kind_arr(), dtype=np.int8)
+        return self._ctx_kind_np
 
     def get_ent_type(self, line: int) -> str:
         """Type path STRING; all callers do substring tests (SURVEY §1.4.1)."""

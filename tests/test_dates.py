@@ -98,3 +98,38 @@ def test_resolve_interval_row():
     assert rows[0]["iso"] == "1693-00-00 -- 1734-00-00"
     lines = render_reference_lines(rows)
     assert lines == ["8\t17\tinterval\t1693-1734\t1693-00-00 -- 1734-00-00"]
+
+
+def test_anchored_scan_equals_plain_finditer():
+    """The candidate-anchored scan (_scan_candidates) must reproduce the
+    plain ``_ALL_RE.finditer`` sequence exactly — spans and groups."""
+    import random
+
+    from ner_spark.semantics.dates import _ALL_RE, _scan_candidates
+
+    samples = [
+        "born 12. 11. 1694 in Ulm, died lis. 12, 2007 there",
+        "reigned 1693-1734 well; 1999-12-28; 2010 listopad 16",
+        "x1999 not a date but 1999 is; 1690s too",
+        "12/11/1694 and 3. února 1848 do 5. března 1849",
+        "1999",
+        "a1999b 1999a a1999 .1999",
+        "led. 5, 1200 -- pro. 9, 1300",
+        "",
+        "no digits here at all",
+        "4.4.44 4.4.444 44.44.4444",
+        "edge 2000",
+        "2000 edge",
+        "ŘÍJ 1999 vs ríj 1999 vs Ríj 1999",
+    ]
+    # plus deterministic random soup mixing digits, stems, punctuation
+    rng = random.Random(4)
+    atoms = ["1999", "12", "led", "pro", "lis", " ", ".", ",", "-", "–",
+             "do", "a", "Z", "\n", "(", "x7", "07", "2021-05-04", "1690s"]
+    for _ in range(200):
+        samples.append("".join(rng.choice(atoms)
+                               for _ in range(rng.randrange(0, 40))))
+    for s in samples:
+        plain = [(m.start(), m.end(), m.group(1)) for m in _ALL_RE.finditer(s)]
+        fast = [(m.start(), m.end(), m.group(1)) for m in _scan_candidates(s)]
+        assert fast == plain, (s, fast, plain)
