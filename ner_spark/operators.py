@@ -154,15 +154,23 @@ def corrupt_triples(triples: DataFrame, entities: DataFrame, k: int = 2,
     (the property corpus-splitting already relies on,
     :func:`stable_split`), and md5-hex→BIGINT renders identically in
     Spark and ANSI engines so the sampler is exactly oracle-checkable.
-    Plan: the entity pool is indexed with one global-order row_number
-    (entity table is KB-sized — the same bounded-small-side assumption
-    as every broadcast in this engine) and joined back by index as a
-    broadcast; the pool size enters the plan as a broadcast one-row
-    count (no driver action during query construction)."""
+    Plan: the entity pool is sorted by value (a PARALLEL range-partition
+    sort) and indexed 0..n-1 with ``zipWithIndex`` — contiguous indices
+    per partition in partition order, so the assignment equals the
+    global-sort rank WITHOUT the single-task Exchange a partition-less
+    ``row_number()`` window would plan (the oracle's ``row_number() OVER
+    (ORDER BY neg_obj)`` stays valid because the index IS the sort
+    rank); the indexed pool joins back as a broadcast and the pool size
+    enters the plan as a broadcast one-row count (no driver action
+    during query construction — zipWithIndex's partition-size job runs
+    on the executors)."""
+    spark = triples.sparkSession
     ents = entities.select(
         F.col(ent_col).cast("string").alias("neg_obj")).distinct()
-    indexed = ents.withColumn(
-        "idx", F.row_number().over(Window.orderBy("neg_obj")) - 1)
+    indexed = spark.createDataFrame(
+        ents.sort("neg_obj").rdd.zipWithIndex()
+            .map(lambda r: (r[0][0], r[1])),
+        "neg_obj string, idx long")
     pool_n = indexed.agg(F.count(F.lit(1)).alias("_n"))
     reps = triples.select(subj_col, pred_col, obj_col).withColumn(
         "neg_rank", F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)])))

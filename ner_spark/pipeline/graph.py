@@ -59,19 +59,27 @@ def triangle_count(edges: DataFrame, src: str = "subj",
     both are referenced by several joins below, and without a cache each
     reference recomputes the (possibly expensive) upstream that produced
     the edges — at any scale the edge list is the thing to materialize
-    once (it is KB-sized next to the corpus).  The caches live for the
-    returned DataFrame's lifetime (the lazy result reads them);
-    re-invocations dedup via Spark's canonicalized-plan cache manager.
+    once (it is KB-sized next to the corpus).  The per-node result is
+    finalized with ``localCheckpoint`` (executor-side, no driver pull)
+    and the caches are unpersisted before returning — repeated
+    invocations over distinct upstreams (e.g. a bench loop) do not
+    accumulate executor storage (kcore/LPA hygiene).
     """
-    return _triangles_canonical(
-        _canonical_edges(edges, src, dst).persist())
+    e = _canonical_edges(edges, src, dst).persist()
+    res, oriented = _triangles_canonical(e)
+    out = res.localCheckpoint()
+    oriented.unpersist()
+    e.unpersist()
+    return out
 
 
-def _triangles_canonical(e: DataFrame) -> DataFrame:
+def _triangles_canonical(e: DataFrame):
     """Core of :func:`triangle_count` over an ALREADY canonical (and
     ideally persisted) (u, v) edge list — shared with
     :func:`clustering_coefficient` so it does not pay a second
-    canonicalization shuffle and cache copy."""
+    canonicalization shuffle and cache copy.  Returns ``(result,
+    oriented)``; the caller must materialize the result before
+    unpersisting the ``oriented`` cache."""
     deg = (e.select(F.col("u").alias("node"))
            .unionByName(e.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
@@ -93,7 +101,8 @@ def _triangles_canonical(e: DataFrame) -> DataFrame:
         oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c")),
         ["a", "c"])
     return (tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-            .groupBy("node").agg(F.count(F.lit(1)).alias("triangles")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("triangles")),
+            oriented)
 
 
 def clustering_coefficient(edges: DataFrame, src: str = "subj",
@@ -110,16 +119,20 @@ def clustering_coefficient(edges: DataFrame, src: str = "subj",
     deg = (e.select(F.col("u").alias("node"))
            .unionByName(e.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
-    tri = _triangles_canonical(e)
-    return (deg.join(tri, "node", "left")
-            .select("node", "degree",
-                    F.coalesce("triangles", F.lit(0)).alias("triangles"))
-            .withColumn(
-                "coefficient",
-                F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
-                    F.col("triangles").cast("double")
-                    / (F.col("degree") * (F.col("degree") - 1) / 2)
-                    .cast("double"))))
+    tri, oriented = _triangles_canonical(e)
+    res = (deg.join(tri, "node", "left")
+           .select("node", "degree",
+                   F.coalesce("triangles", F.lit(0)).alias("triangles"))
+           .withColumn(
+               "coefficient",
+               F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+                   F.col("triangles").cast("double")
+                   / (F.col("degree") * (F.col("degree") - 1) / 2)
+                   .cast("double"))))
+    out = res.localCheckpoint()  # materialize, then release the caches
+    oriented.unpersist()
+    e.unpersist()
+    return out
 
 
 def neighborhood_similarity(edges: DataFrame, threshold: float = 0.5,
@@ -161,9 +174,14 @@ def neighborhood_similarity(edges: DataFrame, threshold: float = 0.5,
     )
     # prefix length d - ceil(t*d) + 1; any pair with jaccard >= t shares
     # >= t/(1+t)*(d1+d2) >= t*max(d1,d2) neighbors, so its first common
-    # token (in the global rarest-first order) lies in both prefixes
+    # token (in the global rarest-first order) lies in both prefixes.
+    # The epsilon guards IEEE round-up on non-dyadic thresholds
+    # (0.7*10 == 7.000000000000001 → ceil 8 would shorten the prefix and
+    # silently drop qualifying pairs); a one-longer prefix only adds
+    # candidates, which the exact verify below filters.
     prefix = ranked.filter(
-        F.col("pos") <= F.col("d") - F.ceil(F.lit(threshold) * F.col("d")) + 1
+        F.col("pos") <= F.col("d")
+        - F.ceil(F.lit(threshold) * F.col("d") - F.lit(1e-9)) + 1
     ).persist()  # self-joined below: two references
     cands = (prefix.alias("a").join(prefix.alias("b"), "nbr")
              .filter(F.col("a.node") < F.col("b.node"))
@@ -192,7 +210,11 @@ def neighborhood_similarity(edges: DataFrame, threshold: float = 0.5,
                     / F.col("uni").cast("double"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified
+    out = verified.localCheckpoint()  # materialize, then drop the caches
+    adj.unpersist()
+    prefix.unpersist()
+    sym.unpersist()
+    return out
 
 
 def kcore(edges: DataFrame, k: int = 3, src: str = "subj",

@@ -140,3 +140,27 @@ def test_triangle_count_all_equi_joins(spark):
     plan = _plan(triangle_count(df))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corrupt_triples_no_single_task_stage(spark):
+    """The entity-pool index must NOT plan a partition-less Window
+    (row_number() over a global order = one Exchange SinglePartition =
+    one task sorting the whole pool).  The zipWithIndex construction
+    keeps the index assignment parallel: a range-partitioned sort, then
+    per-partition contiguous indices."""
+    from ner_spark.operators import corrupt_triples
+
+    pos = spark.createDataFrame(
+        [("e:1", "p", "e:2"), ("e:3", "p", "e:4")],
+        "subj string, pred string, obj string")
+    ents = spark.createDataFrame([(f"e:{i}",) for i in range(1, 6)],
+                                 "id string")
+    plan = _plan(corrupt_triples(pos, ents, k=2))
+    assert "Window" not in plan  # no global-order sort stage at all
+    # The only SinglePartition exchange allowed is the one-row-per-
+    # partition count() reduce (pool size as a broadcast scalar) — it
+    # must NOT feed a Sort (that would be the single-task rank we
+    # removed).
+    for frag in plan.split("Exchange SinglePartition")[1:]:
+        first_op = frag.strip().splitlines()[1] if "\n" in frag else ""
+        assert "Sort" not in first_op, plan
