@@ -49,22 +49,26 @@ def test_no_oracle_projects_hugeint_or_decimal(con):
         f"BIGINT/DOUBLE)): {bad}")
 
 
-# Oracle-backed queries allowed OUTSIDE the driver's 50-entry window:
+# Oracle-backed queries allowed OUTSIDE the driver's 50-entry window
+# (round-4 rotation — see the queries() docstring for the policy):
 #  * embed_*_full: oracle SQL byte-identical to embed_knn's (degenerate
 #    configs — one bucket / full probe ≡ brute force), so the driver
 #    already validates that SQL; the degenerate-equality is pytest-pinned.
-#  * salted_count / customers_with_orders / tpch_q10_like / revenue_rollup:
-#    driver-green in rounds 1 AND 2 and unchanged since (devices stay
-#    in-window via salted_join / customers_without_orders / the q1-q3-q5 +
-#    cube join-agg family — cube subsumes the rollup grouping-sets device).
+#  * salted_count / customers_with_orders / tpch_q5_like / revenue_rollup:
+#    parked since r2, driver-green r1+r2 (devices in-window via
+#    salted_join / customers_without_orders / tpch_q10_like /
+#    revenue_cube).
+#  * the nine r4-parked rows: driver-green in ALL THREE prior rounds
+#    (CORRECTNESS_r01/r02/r03), rotated out to make room for the rotated-
+#    in r2-parked set and the three upgraded graph oracles.
 _SAME_AS_KNN = {"embed_lsh_full", "embed_ivf_full"}
-_REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {"salted_count", "customers_with_orders",
-                                       "tpch_q10_like", "revenue_by_nation",
-                                       "revenue_rollup", "text_token_stats",
-                                       "click_only_users",
-                                       "windowed_event_counts",
-                                       "tpch_q5_like",
-                                       "distinct_users_exact"}
+_REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {
+    "salted_count", "customers_with_orders", "revenue_rollup",
+    "tpch_q5_like",
+    # thrice-green, parked r4:
+    "tpch_q3_like", "top_order_per_customer", "text_fingerprint",
+    "text_langid", "text_quality", "text_token_bpe", "word_frequency",
+    "dedup_exact", "kgc_connected_components"}
 
 
 def test_every_oracle_has_a_query_and_matching_order():
