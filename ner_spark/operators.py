@@ -30,7 +30,17 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
                 salt_k: int = 8) -> DataFrame:
     """Equi-join where ``big`` is skewed on ``key``: big side salted by a
     row hash, small side exploded ``salt_k``× so every (key, salt) bucket
-    finds its match.  Same rows as ``big.join(small, key)``."""
+    finds its match.  Same rows as ``big.join(small, key)``.
+
+    When to reach for this instead of AQE skew-join (measured,
+    BASELINE.md "Skew — round 4"): AQE's detector is BYTE-based and
+    splits at map-output-block granularity, so it goes blind when
+    column pruning or heavy compression shrinks the hot partition's
+    bytes below threshold while its row count (what the reducer pays)
+    stays huge, and it cannot split a hot key concentrated in few
+    mappers.  Salting re-keys rows, immune to both, at ~2× AQE's
+    best-case cost — so leave AQE on for payload-carrying shuffles and
+    salt the pathological layouts."""
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_k)))
     small_s = small.withColumn(
