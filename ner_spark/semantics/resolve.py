@@ -1151,13 +1151,69 @@ def remove_nearby_entities(entities: list[Mention], kb: KBBundle, text: str,
 
 # ---------------------------------------------------------------------------
 # unknown-name discovery (-n mode: ner.py:211-283 add_unknown_names;
-# simplified EN recognizer — capitalized proper-noun candidates with
-# possessive strip, name_recognizer/process_outputs.py:589-598)
+# candidates come from the capitalized proper-noun regex with possessive
+# strip, name_recognizer/process_outputs.py:589-598, PLUS a KB-derived
+# name gazetteer mirroring the reference's name automaton — see
+# _gazetteer_name_spans)
 # ---------------------------------------------------------------------------
 
-def _name_candidates(text: str, list_titles: set[str]) -> list[Mention]:
+# capitalized word token at a word boundary (mid-word capitals like
+# "iPhone"'s P must not start a token)
+_NAME_TOKEN_RX = re.compile(r"(?<![^\W\d_'])[A-Z][A-Za-z'\-]*")
+
+
+def _gazetteer_name_spans(text: str, name_dict: dict) -> list[tuple[int, int]]:
+    """KB-derived name-gazetteer candidates for -n: maximal runs of ≥ 2
+    consecutive capitalized tokens (single-space separated) whose
+    lowercased form is a person-subname key of the KB name dict
+    (ner_knowledge_base.initName_dict — the same keyspace the
+    partial-match coref stage joins on).
+
+    This mirrors the reference's dedicated name recognizer — figa over a
+    names ``.fsa`` compiled from first/last-name lists
+    (name_recognizer/name_recognizer.py:19-60, process_outputs.py) —
+    with the KB's own NAME/ALIASES subnames standing in for its external
+    data lists, which are absent from the reference tree.  Unlike the
+    positional proper-noun regex (ner.py:161-174, offset-0 and
+    post-punctuation spans excluded), a gazetteer run may open a
+    sentence: two consecutive known person subnames are list evidence
+    that outweighs the position heuristic.  ``text`` must be the same
+    deaccented string the regex path scans so spans align."""
+    spans: list[tuple[int, int]] = []
+    run_start = run_end = -1
+    n_toks = 0
+    for m in _NAME_TOKEN_RX.finditer(text):
+        known = m.group().lower() in name_dict
+        if (known and n_toks and m.start() == run_end + 1
+                and text[run_end] == " "):
+            run_end = m.end()
+            n_toks += 1
+            continue
+        if n_toks >= 2:
+            spans.append((run_start, run_end))
+        if known:
+            run_start, run_end, n_toks = m.start(), m.end(), 1
+        else:
+            n_toks = 0
+    if n_toks >= 2:
+        spans.append((run_start, run_end))
+    return spans
+
+
+def _name_candidates(text: str, list_titles: set[str],
+                     kb: KBBundle | None = None) -> list[Mention]:
+    deacc = remove_accent_unicode(text)
+    spans = find_proper_nouns(deacc, list_titles)
+    if kb is not None and kb.name_dict:
+        # gazetteer spans contained in a (maximal) regex span add nothing;
+        # the rest join the candidate list in start order so pseudo-sense
+        # ids stay deterministic
+        extra = [g for g in _gazetteer_name_spans(deacc, kb.name_dict)
+                 if not any(s <= g[0] and g[1] <= e for s, e in spans)]
+        if extra:
+            spans = sorted(set(spans) | set(extra))
     out = []
-    for s, e in find_proper_nouns(remove_accent_unicode(text), list_titles):
+    for s, e in spans:
         frag = text[s:e]
         if len(frag) > 2 and frag.endswith("'s"):  # possessive strip (F14)
             frag = frag[:-2]
@@ -1169,12 +1225,16 @@ def _name_candidates(text: str, list_titles: set[str]) -> list[Mention]:
 
 
 def add_unknown_names(entities_and_dates: list, text: str,
-                      list_titles: set[str] = frozenset()) -> list[Mention]:
+                      list_titles: set[str] = frozenset(),
+                      kb: KBBundle | None = None) -> list[Mention]:
     """ner.py:211-283 merge semantics: same-surface names share a pseudo
     sense set (negative ids); candidates equal to / contained in an existing
     entity are dropped; candidates containing an entity absorb its senses
-    and replace it; survivors are inserted in start-offset order (W4)."""
-    name_entities = _name_candidates(text, list_titles)
+    and replace it; survivors are inserted in start-offset order (W4).
+    With ``kb`` the candidate set also draws on the KB-derived name
+    gazetteer (_gazetteer_name_spans); the merge semantics above apply
+    to both sources identically."""
+    name_entities = _name_candidates(text, list_titles, kb)
     for i, ne in enumerate(name_entities):
         assigned = None
         for j in range(i):
@@ -1394,7 +1454,8 @@ def resolve_document(
         if isinstance(e, DateMatch) or id(e) in kept]
 
     if find_names:  # -n mode (ner.py:696-697)
-        new_names = add_unknown_names(entities_and_dates, text, list_titles)
+        new_names = add_unknown_names(entities_and_dates, text,
+                                       list_titles, kb)
         adjust_coreferences(entities_and_dates, new_names, kb, register, lang)
 
     # final sense filter (ner.py:700-709): default keeps resolved mentions;

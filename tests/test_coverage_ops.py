@@ -311,3 +311,45 @@ def test_sk_language_module():
     import pytest as _p
     with _p.raises(ValueError, match="unknown language"):
         get_lang("xx")
+
+
+def test_find_names_gazetteer_sentence_initial(spark, variant_rows):
+    """KB-derived name gazetteer (-n): a run of ≥2 known person subnames
+    may open a sentence — the positional proper-noun regex drops
+    offset-0 spans (ner.py:170), the gazetteer (the reference
+    name_recognizer architecture with KB subnames standing in for its
+    absent name lists) recovers it."""
+    from ner_spark.kb.build import compile_kb
+
+    art = compile_kb(spark, variant_rows, add_pronouns=False,
+                     add_subname_fragments=False)
+    # "Dvorak Antonin" is NOT a KB surface form (the automaton knows
+    # "Antonín Dvořák"), but both tokens are name_dict subname keys
+    text = "Dvorak Antonin spoke first on 12. 1. 1995 ."
+    out = recognize(art.bundle, art.automaton, text, find_names=True)
+    names = [r for r in out if r["kind"] == "name"]
+    assert [(r["text"], r["sense"] < 0) for r in names] == \
+        [("Dvorak Antonin", True)]
+    # unknown capitalized words at offset 0 stay dropped: not subnames,
+    # and the regex's positional rule still applies
+    text2 = "Random Stranger spoke first on 12. 1. 1995 ."
+    out2 = recognize(art.bundle, art.automaton, text2, find_names=True)
+    assert [r["kind"] for r in out2] == ["date"]
+
+
+def test_gazetteer_name_spans_run_rules():
+    """Run mechanics of the gazetteer scanner: single-space separation,
+    ≥2 tokens, unknown token breaks the run, mid-word capitals never
+    start a token."""
+    from ner_spark.semantics.resolve import _gazetteer_name_spans
+
+    nd = {"john": frozenset({1}), "smith": frozenset({1}),
+          "ada": frozenset({2})}
+    t = "John Smith met Ada and John  Smith saw iJohn Smith"
+    spans = _gazetteer_name_spans(t, nd)
+    # "John Smith" qualifies; lone "Ada" does not (needs ≥2); the
+    # double-space pair does not (not single-space separated); the
+    # trailing "Smith" after mid-word "iJohn" is a lone token
+    assert spans == [(0, 10)]
+    assert _gazetteer_name_spans("John Smith", nd) == [(0, 10)]
+    assert _gazetteer_name_spans("john smith", nd) == []  # lowercased text
