@@ -150,13 +150,21 @@ def compile_kb(spark: SparkSession, rows: list[dict],
                deaccent: bool = False,
                uri_mode: bool = False,
                wiki_filter: bool = False,
-               lang: str = "en") -> KBArtifacts:
+               lang: str = "en",
+               tagged_inflections: list[str] | None = None) -> KBArtifacts:
     """Driver-side KB compile + broadcast (rebuilt when the KB snapshot
     changes, the analogue of the ETag/version handshake ner.py:756-810).
 
     ``lowercase`` builds the ``-d`` lowercase automaton variant and
     ``deaccent`` the ``-r`` accent-stripped one (both may combine); the
-    matching text transform must be passed to extract_mentions."""
+    matching text transform must be passed to extract_mentions.
+
+    ``tagged_inflections`` (cs only — namegen runs solely in the cs
+    build, create_cedar.sh:369): tagged-inflection TSV lines whose
+    expanded surface forms join the namelist (semantics/inflect.py)."""
+    if tagged_inflections is not None and lang != "cs":
+        raise ValueError("tagged_inflections is a cs-mode input "
+                         "(create_cedar.sh:369 runs namegen only for cs)")
     from ner_spark.semantics.textnorm import remove_accent
 
     bundle = KBBundle.from_rows(rows)
@@ -171,7 +179,8 @@ def compile_kb(spark: SparkSession, rows: list[dict],
                                   filter_keys=filter_keys,
                                   add_pronouns=add_pronouns,
                                   add_subname_fragments=add_subname_fragments,
-                                  lang=lang_mod)
+                                  lang=lang_mod,
+                                  tagged_inflections=tagged_inflections)
         if wiki_filter:
             # F13 (filter_namelist.sh): fragment ('N') rows keep only ids
             # whose KB line has a wikipedia URL

@@ -607,12 +607,20 @@ def build_namelist(
     add_pronouns: bool = True,
     add_subname_fragments: bool = True,
     lang: "object" = None,
+    tagged_inflections: "Iterable[str] | None" = None,
 ) -> dict[str, list[int]]:
     """Key → ordered KB ids (+ trailing 0 for the 'N' fragment marker).
 
     Reproduces KB2namelist.py:824-886 (entry generation), namelist key
     filtering, and uniq_namelist.py:44-107 (merge + confidence-descending
     order with deterministic id tie-break, SURVEY §1.4.4).
+
+    ``tagged_inflections`` (cs mode, create_cedar.sh:369): namegen
+    tagged-inflection TSV lines; each line's expanded inflected surface
+    forms (semantics/inflect.py) become namelist keys for the KB rows
+    whose NAME equals the line's base name, and its subnames join the
+    fragment ('N'-marker) set — the same merge/ordering path as every
+    other key.
     """
     from .variants import all_person_variants, geographical_variants
 
@@ -690,6 +698,21 @@ def build_namelist(
                         kb.get_data_for(i, "COUNTRY")))
                 for v in variants:
                     add(v, i, t)
+
+    if tagged_inflections is not None:
+        from .inflect import expand_tagged_inflections
+
+        by_name: dict[str, list[int]] = {}
+        for i in range(1, kb.n_rows() + 1):
+            by_name.setdefault(kb.get_data_for(i, "NAME"), []).append(i)
+        for base, (infl, subs) in \
+                expand_tagged_inflections(tagged_inflections).items():
+            for i in by_name.get(base, []):
+                t = kb.get_ent_type(i)
+                for surface in infl:
+                    add(surface, i, t)
+            for sub in subs:
+                frag.add(re.sub(r"\s+", " ", sub).strip())
 
     conf_of = {i: kb.get_score(i) for i in range(1, kb.n_rows() + 1)}
     out: dict[str, list[int]] = {}
