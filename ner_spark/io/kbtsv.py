@@ -48,7 +48,7 @@ def write_kb_tsv(rows: list[dict], fh: TextIO, version: int = 1) -> None:
     fh.write("\t".join(decls) + "\n")
     fh.write("\n")
     for r in rows:
-        cells = [str(r["id"])]
+        cells = [str(r.get("qid") or r["id"])]
         for c in _DATA_COLS:
             v = r.get(c)
             cells.append("" if v is None else str(v))
@@ -106,7 +106,14 @@ def read_kb_tsv(fh: TextIO) -> tuple[int, dict, list[dict]]:
         if not line.strip():
             continue
         cells = line.rstrip("\n").split("\t")
-        row: dict = {"id": int(cells[by_name["ID"]])}
+        raw_id = cells[by_name["ID"]]
+        if raw_id[:1] == "Q":
+            # Wikidata-keyed KB (KB2namelist.py:1027-1029): data-line order
+            # is authoritative for the internal 1-based id; the Q-id
+            # survives for the -Q automaton value mode (compile_kb qid_mode)
+            row: dict = {"id": len(rows) + 1, "qid": raw_id}
+        else:
+            row = {"id": int(raw_id)}
         for head_name, idx in by_name.items():
             if head_name == "ID" or idx >= len(cells):
                 continue
@@ -126,7 +133,9 @@ def read_kb_tsv_spark(spark, path: str):
     executors scan the TSV rows (the GB-scale part at real KB sizes).
     Header lines are dropped by a narrow filter (data rows have a numeric
     ID in column 0; the VERSION/HEAD lines never do) — no global ordering
-    or driver collect."""
+    or driver collect.  Wikidata-keyed KBs (Q-prefixed IDs) go through the
+    driver reader ``read_kb_tsv``: their internal 1-based id is the data
+    LINE NUMBER, which a distributed unordered scan cannot assign."""
     from pyspark.sql import functions as F
 
     with open(path) as fh:

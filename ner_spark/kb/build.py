@@ -151,7 +151,8 @@ def compile_kb(spark: SparkSession, rows: list[dict],
                uri_mode: bool = False,
                wiki_filter: bool = False,
                lang: str = "en",
-               tagged_inflections: list[str] | None = None) -> KBArtifacts:
+               tagged_inflections: list[str] | None = None,
+               qid_mode: bool = False) -> KBArtifacts:
     """Driver-side KB compile + broadcast (rebuilt when the KB snapshot
     changes, the analogue of the ETag/version handshake ner.py:756-810).
 
@@ -161,7 +162,15 @@ def compile_kb(spark: SparkSession, rows: list[dict],
 
     ``tagged_inflections`` (cs only — namegen runs solely in the cs
     build, create_cedar.sh:369): tagged-inflection TSV lines whose
-    expanded surface forms join the namelist (semantics/inflect.py)."""
+    expanded surface forms join the namelist (semantics/inflect.py).
+
+    ``qid_mode`` (``-Q``, KB2namelist.py:1027-1030): automaton values
+    become each row's Wikidata id with the leading ``Q`` stripped
+    (rows carry ``qid`` when loaded from a Q-keyed KB.tsv) instead of
+    the 1-based line number; rows without a qid keep their line number,
+    exactly as the reference passes a non-Q ID through unchanged.  An
+    EXPORT mode: the pipeline's own joins index the KB by line number,
+    so a qid automaton is for external consumers of the artifact."""
     if tagged_inflections is not None and lang != "cs":
         raise ValueError("tagged_inflections is a cs-mode input "
                          "(create_cedar.sh:369 runs namegen only for cs)")
@@ -191,6 +200,24 @@ def compile_kb(spark: SparkSession, rows: list[dict],
                 k = remove_accent(k)
             return k.lower() if lowercase else k
         namelist = _transform_namelist(namelist, tf, bundle.get_score)
+    if qid_mode:
+        # -Q: line number → stripped Q-id; 0 stays the fragment marker.
+        # Order within a key is preserved (confidence-desc from the merge);
+        # duplicates after remap (two lines sharing a qid) collapse to the
+        # first, highest-confidence occurrence.
+        qid_of = {int(r["id"]): int(str(r["qid"])[1:])
+                  for r in rows if str(r.get("qid") or "")[:1] == "Q"}
+        remapped: dict[str, list[int]] = {}
+        for key, ids in namelist.items():
+            seen: set[int] = set()
+            vals: list[int] = []
+            for i in ids:
+                v = i if i == 0 else qid_of.get(i, i)
+                if v not in seen:
+                    seen.add(v)
+                    vals.append(v)
+            remapped[key] = vals
+        namelist = remapped
     automaton = GazetteerAutomaton.build(namelist.items())
     # scored KB DataFrame: for driver-sized KBs attach the bundle's scores
     # (computed once above; proven equal to the DataFrame job in

@@ -52,6 +52,44 @@ def test_kb_tsv_rejects_garbage():
         read_kb_tsv(io.StringIO("no version line\n"))
 
 
+def test_kb_tsv_wikidata_qids_roundtrip(kb_rows):
+    """Q-keyed KB.tsv (Wikidata IDs in the ID column): internal ids are the
+    1-based data-line numbers; the Q-id round-trips via ``qid``."""
+    qrows = [dict(r, qid=f"Q{100 + r['id']}") for r in kb_rows]
+    buf = io.StringIO()
+    write_kb_tsv(qrows, buf)
+    buf.seek(0)
+    assert "\nQ101\t" in buf.getvalue()  # the ID cell carries the Q-id
+    version, _, rows = read_kb_tsv(buf)
+    assert [r["id"] for r in rows] == list(range(1, len(kb_rows) + 1))
+    assert [r["qid"] for r in rows] == [f"Q{100 + i}"
+                                        for i in range(1, len(kb_rows) + 1)]
+    assert rows[0]["name"] == str(kb_rows[0]["name"])
+
+
+def test_compile_kb_qid_mode(spark, kb_rows):
+    """-Q (KB2namelist.py:1027-1030): automaton values are the stripped
+    Q-id numbers; rows without a qid keep the line number; the fragment
+    marker 0 is untouched; default mode is unchanged by the qid field."""
+    from ner_spark.kb.build import compile_kb
+
+    qrows = [dict(r, qid=f"Q{1000 + r['id']}") for r in kb_rows]
+    del qrows[2]["qid"]  # a non-Q ID passes through unchanged
+    art = compile_kb(spark, qrows, qid_mode=True)
+    base = compile_kb(spark, kb_rows)
+    # same key set, values remapped line→qid (line 3 kept as-is)
+    assert art.automaton.n_keys == base.automaton.n_keys
+    assert set(art.automaton.keys) == set(base.automaton.keys)
+    for key, ids in base.automaton.keys.items():
+        got = art.automaton.keys[key]
+        want: list[int] = []
+        for i in ids:
+            v = i if i in (0, 3) else 1000 + i
+            if v not in want:
+                want.append(v)
+        assert list(got) == want, key
+
+
 # -- autocomplete ----------------------------------------------------------
 
 def test_autocomplete_byte_order_and_limit():
