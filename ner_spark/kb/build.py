@@ -24,8 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ner_spark.semantics.automaton import GazetteerAutomaton
-from ner_spark.semantics.kb import (KB_COLUMNS, KBBundle, build_namelist,
-                                    build_uri_namelist,
+from ner_spark.semantics.kb import (KB_COLUMNS, KBBundle,
+                                    build_autocomplete_namelists,
+                                    build_namelist, build_uri_namelist,
                                     filter_namelist_to_wiki, wiki_url_lines)
 
 _STR_COLS = [c for c in KB_COLUMNS if c not in
@@ -250,3 +251,21 @@ def compile_kb(spark: SparkSession, rows: list[dict],
         n_entities=bundle.n_rows(),
         n_keys=automaton.n_keys,
     )
+
+
+def compile_autocomplete(rows: list[dict],
+                         stop_list: set[str] | None = None,
+                         lang: str = "en") -> dict[str, GazetteerAutomaton]:
+    """Per-type autocomplete automata (``-a``, create_cedar.sh:521-546):
+    ``p`` = person links, ``l`` = geographical, ``x`` = every type, each
+    a NONACCENT-variant (lowercase + accent-stripped keys) automaton
+    whose ``autocomplete(prefix, m)`` walk serves suggestions.  Driver-
+    side like compile_kb; broadcast the result if executors need it
+    (the product use is a driver/serving-side suggestion index)."""
+    from ner_spark.semantics.lang import get_lang
+
+    bundle = KBBundle.from_rows(rows)
+    namelists = build_autocomplete_namelists(bundle, stop_list=stop_list,
+                                             lang=get_lang(lang))
+    return {cls: GazetteerAutomaton.build(nl.items())
+            for cls, nl in namelists.items()}

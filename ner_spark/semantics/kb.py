@@ -583,6 +583,54 @@ def filter_namelist_to_wiki(namelist: dict[str, list[int]],
     return out
 
 
+# autocomplete type classes (namelist.py:29 NONACCENT_TYPES + the
+# 'other' bucket; create_cedar.sh:525-528 maps them to p/l/x files)
+AUTOCOMPLETE_CLASSES = {"p": "person", "l": "geographical", "x": None}
+
+
+def build_autocomplete_namelists(
+    kb: KBBundle,
+    stop_list: "set[str] | None" = None,
+    filter_keys: bool = True,
+    lang: "object" = None,
+) -> dict[str, dict[str, list[int]]]:
+    """Per-type autocomplete namelists (``-a`` + create_cedar.sh:521-546).
+
+    The reference builds the namelist in the NONACCENT variant (keys
+    lowercased + accent-stripped, namelist.py:910-915), tags every entry
+    line with its type class (person / geographical / other,
+    namelist.py:345-358,941-942), drops fragment lines (the
+    ``grep -v "[^;]N"``), then splits into the ``p`` (person-typed
+    links), ``l`` (geographical) and ``x`` (all links — ``cut -f2-``
+    keeps every class) namelists, each merged by uniq_namelist with the
+    usual confidence-descending order.  Pronouns are not added (the
+    reference's NONACCENT pronoun block is commented out)."""
+    from .textnorm import remove_accent
+
+    base = build_namelist(kb, stop_list=stop_list, filter_keys=filter_keys,
+                          add_pronouns=False, add_subname_fragments=False,
+                          lang=lang)
+    conf_of = kb.get_score
+    out: dict[str, dict[str, list[int]]] = {c: {} for c in AUTOCOMPLETE_CLASSES}
+    for key, ids in base.items():
+        k = remove_accent(key.lower())
+        if not k:
+            continue
+        real = [i for i in ids if i != 0]
+        for cls, type_substr in AUTOCOMPLETE_CLASSES.items():
+            sub = real if type_substr is None else \
+                [i for i in real if type_substr in kb.get_ent_type(i)]
+            if not sub:
+                continue
+            dst = out[cls]
+            if k in dst:
+                merged = set(dst[k]) | set(sub)
+                dst[k] = sorted(merged, key=lambda i: (-conf_of(i), i))
+            else:
+                dst[k] = sub
+    return out
+
+
 def build_uri_namelist(kb: KBBundle) -> dict[str, list[int]]:
     """URI-mode namelist (``-u``): every URL of every entity becomes a key
     (KB2namelist.process_uri:907-922; URI columns WIKIPEDIA/WIKIDATA/DBPEDIA

@@ -92,6 +92,41 @@ def test_compile_kb_qid_mode(spark, kb_rows):
 
 # -- autocomplete ----------------------------------------------------------
 
+def test_per_type_autocomplete_automata(kb_rows):
+    """p/l/x autocomplete automata (create_cedar.sh:521-546): NONACCENT
+    keys (lowercase + deaccent), per-class link filtering, fragments and
+    pronouns absent, x = union of every class."""
+    from ner_spark.kb.build import compile_autocomplete
+    from ner_spark.semantics.kb import KBBundle
+    from ner_spark.semantics.textnorm import remove_accent
+
+    atms = compile_autocomplete(kb_rows)
+    assert set(atms) == {"p", "l", "x"}
+    kb = KBBundle.from_rows(kb_rows)
+    # every key is its own NONACCENT form; no fragment marker anywhere
+    for cls, atm in atms.items():
+        assert atm.n_keys > 0
+        for key, ids in atm.keys.items():
+            assert key == remove_accent(key.lower()), (cls, key)
+            assert 0 not in ids, (cls, key)
+    # class filtering: p links are all persons, l all geographical
+    for key, ids in atms["p"].keys.items():
+        assert all("person" in kb.get_ent_type(i) for i in ids), key
+    for key, ids in atms["l"].keys.items():
+        assert all("geographical" in kb.get_ent_type(i) for i in ids), key
+    # x carries every class: each p/l entry's ids are a subset of x's
+    for cls in ("p", "l"):
+        for key, ids in atms[cls].keys.items():
+            assert set(ids) <= set(atms["x"].keys[key]), (cls, key)
+    # the walk works: a person surname prefix suggests person entries only
+    some_person = next(k for k in atms["p"].keys if " " in k)
+    prefix = some_person[: len(some_person) // 2]
+    hits = atms["p"].autocomplete(prefix, 5)
+    assert hits and all(k.startswith(prefix) for k, _ in hits)
+
+
+# -- single-automaton autocomplete ------------------------------------------
+
 def test_autocomplete_byte_order_and_limit():
     atm = GazetteerAutomaton.build([
         ("New York", (1,)), ("New Orleans", (2,)), ("New Delhi", (3,)),
