@@ -1,0 +1,137 @@
+"""Cedar ``.ct`` binary automaton compatibility (io/ctdict.py).
+
+Layer 1 (always runs): write_ct ↔ read_ct roundtrip on namelists with
+multi-values, the fragment marker 0, and UTF-8 keys — including the
+full fixture-KB namelist.
+
+Layer 2 (gated on g++ + the reference tree): compiles the reference's
+OWN figa binary from /root/reference/figa/src (unmodified sources,
+built in a temp dir) and checks true interop both ways:
+
+* a .ct written by figa (``-d namelist -n -w out.ct``) decodes via
+  read_ct to exactly the namelist;
+* figa loading OUR write_ct file produces byte-identical KBlookup
+  output to figa loading its own file.
+"""
+
+import os
+import shutil
+import subprocess
+
+import pytest
+
+from ner_spark.io.ctdict import read_ct, write_ct
+
+REF_SRC = "/root/reference/figa/src"
+_FIGA_FILES = ["main.cpp", "figa_cedar.cpp", "figa_cedar.h",
+               "figa_cedar.tpp", "cedar.h", "darts.h"]
+_CFLAGS = ["-std=c++11", "-DFLEXIBLE", "-DSTOPBIT", "-DNEXTBIT"]
+
+NAMELIST = {
+    "New York": [1, 3],
+    "New": [2],
+    "Praha": [4, 0],
+    "Jan Novak": [5],
+    "Žofín": [7, 2, 0],          # UTF-8 key, 3 values incl. fragment
+    "Antonín Dvořák": [9],
+}
+
+
+def test_ct_roundtrip_small():
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "a.ct")
+        n = write_ct(NAMELIST.items(), p)
+        assert n % 256 == 0          # cedar block padding
+        assert read_ct(p) == NAMELIST
+
+
+def test_ct_roundtrip_full_fixture_namelist(kb_rows, tmp_path):
+    from ner_spark.semantics.kb import KBBundle, build_namelist
+
+    nl = build_namelist(KBBundle.from_rows(kb_rows))
+    p = str(tmp_path / "kb.ct")
+    write_ct(nl.items(), p)
+    assert read_ct(p) == nl
+
+
+def test_ct_rejects_unrepresentable_keys(tmp_path):
+    with pytest.raises(ValueError):
+        write_ct([("bad\x01key", [1])], str(tmp_path / "x.ct"))
+
+
+# -- layer 2: the reference binary itself -----------------------------------
+
+@pytest.fixture(scope="session")
+def figa_bin(tmp_path_factory):
+    if shutil.which("g++") is None or not os.path.isdir(REF_SRC):
+        pytest.skip("no g++ toolchain or reference tree")
+    d = tmp_path_factory.mktemp("figa")
+    for f in _FIGA_FILES:
+        shutil.copyfile(os.path.join(REF_SRC, f), str(d / f))
+    objs = []
+    for src in ("main.cpp", "figa_cedar.cpp"):
+        obj = str(d / (src + ".o"))
+        subprocess.run(["g++", *_CFLAGS, "-c", str(d / src), "-o", obj],
+                       check=True, cwd=str(d), capture_output=True)
+        objs.append(obj)
+    exe = str(d / "figav1.0")
+    subprocess.run(["g++", *objs, "-o", exe], check=True,
+                   capture_output=True)
+    return exe
+
+
+def _namelist_text(nl: dict) -> str:
+    lines = []
+    for key, ids in nl.items():
+        vals = ";".join("N" if v == 0 else str(v) for v in ids)
+        lines.append(f"{key}\t{vals}")
+    return "\n".join(lines) + "\n"
+
+
+def _lookup(figa: str, ct: str, text: str) -> str:
+    r = subprocess.run([figa, "-p", "-d", ct], input=text,
+                       capture_output=True, text=True, check=True)
+    return r.stdout
+
+
+def test_figa_written_ct_decodes(figa_bin, tmp_path):
+    nl_file = str(tmp_path / "namelist")
+    with open(nl_file, "w") as fh:
+        fh.write(_namelist_text(NAMELIST))
+    theirs = str(tmp_path / "theirs.ct")
+    subprocess.run([figa_bin, "-d", nl_file, "-n", "-w", theirs],
+                   check=True, capture_output=True)
+    assert read_ct(theirs) == NAMELIST
+
+
+def test_figa_loads_our_ct_identically(figa_bin, tmp_path):
+    nl_file = str(tmp_path / "namelist")
+    with open(nl_file, "w") as fh:
+        fh.write(_namelist_text(NAMELIST))
+    theirs = str(tmp_path / "theirs.ct")
+    subprocess.run([figa_bin, "-d", nl_file, "-n", "-w", theirs],
+                   check=True, capture_output=True)
+    ours = str(tmp_path / "ours.ct")
+    write_ct(NAMELIST.items(), ours)
+
+    text = ("I saw New York and Praha with Jan Novak in Žofín ; "
+            "Antonín Dvořák was there .\n")
+    out_theirs = _lookup(figa_bin, theirs, text)
+    out_ours = _lookup(figa_bin, ours, text)
+    assert out_theirs == out_ours
+    assert "New York" in out_ours and "Žofín" in out_ours
+
+
+def test_figa_reads_full_fixture_ct(figa_bin, kb_rows, tmp_path):
+    """The unmodified reference binary loads a write_ct of the FULL
+    fixture-KB namelist and finds a known entity."""
+    from ner_spark.semantics.kb import KBBundle, build_namelist
+
+    kb = KBBundle.from_rows(kb_rows)
+    nl = build_namelist(kb)
+    ours = str(tmp_path / "kb.ct")
+    write_ct(nl.items(), ours)
+    name = kb.get_data_for(1, "NAME")
+    out = _lookup(figa_bin, ours, f"We met {name} yesterday .\n")
+    assert name in out, out
