@@ -1,4 +1,5 @@
-"""Cedar ``.ct`` binary automaton compatibility (figa file migration).
+"""Binary automaton file compatibility: cedar ``.ct`` + darts ``.dct``
+(figa file migration — both dialects figa_cedar.cpp:32-49 dispatches on).
 
 The reference persists its gazetteer as a CEDAR double-array dump —
 ``save`` writes the raw node array, little-endian ``(int32 base_,
@@ -161,5 +162,148 @@ def read_ct(path: str) -> dict[str, list[int]]:
         except UnicodeDecodeError:
             continue
         out.setdefault(key, []).append((pos, int(base[t])))
+
+    return {k: [v for _, v in sorted(pv)] for k, pv in out.items()}
+
+
+# -- darts-clone .dct --------------------------------------------------------
+#
+# The second binary dialect (figa_cedar.cpp:43-49 selects it by the .dct
+# extension).  File = raw little-endian uint32 units (darts.h:430-436
+# save / :327-380 open).  Unit fields (darts.h:50-75): label = bits 0-7
+# (bit 31 must be clear for a real node), has_leaf = bit 8, offset =
+# bits 10-30 shifted left 8 when bit 9 is set; a LEAF unit is bit 31 |
+# value (its label() is invalid by construction).  Traversal
+# (darts.h:439-470): child = pos ^ offset(pos) ^ byte, valid iff the
+# child unit's label == byte; the value leaf sits at pos ^ offset(pos).
+
+_LEAF_BIT = 1 << 31
+_HAS_LEAF = 1 << 8
+_EXT_BIT = 1 << 9
+_MAX_DIRECT = (1 << 21) - 1
+
+
+def _encode_offset(unit: int, o: int) -> int:
+    if o <= _MAX_DIRECT:
+        return unit | (o << 10)
+    if o % 256 or (o >> 8) > _MAX_DIRECT:  # pragma: no cover - huge tries
+        raise ValueError(f"offset {o} not encodable in a darts unit")
+    return unit | ((o >> 8) << 10) | _EXT_BIT
+
+
+def write_dct(items, path: str) -> int:
+    """Compile namelist items into a figa-loadable darts-clone ``.dct``.
+    Same key/value conventions as write_ct; returns the unit count."""
+    entries = _expand_items(items)
+    for kb, _ in entries:
+        if b"\x00" in kb or b"\x01" in kb.rstrip(b"\x01"):
+            raise ValueError(f"key not representable in .dct: {kb!r}")
+        for _, v in entries:
+            if v < 0 or v >= _LEAF_BIT:
+                raise ValueError(f"value {v} out of darts 31-bit range")
+
+    root: dict = {}
+    for kb, v in entries:
+        node = root
+        for b in kb:
+            node = node.setdefault(b, {})
+        node[-1] = v
+
+    used = bytearray(_BLOCK)
+    units = [0] * _BLOCK
+    used[0] = 1
+    # darts traversal has no check field: a transition is accepted purely
+    # by (base ^ byte) landing on a unit with that label, so two nodes
+    # sharing a base would alias each other's children (false positives
+    # in the REFERENCE's own exactMatchSearch, and cycles in any decoder).
+    # darts-clone's builder guarantees base uniqueness; so must we.
+    used_base: set[int] = set()
+
+    def grow(upto: int) -> None:
+        need = ((upto // _BLOCK) + 1) * _BLOCK
+        if need > len(used):
+            pad = need - len(used)
+            used.extend(b"\x00" * pad)
+            units.extend([0] * pad)
+
+    # BFS: (position, trie node); each node's unit already carries its
+    # label (and bit31-free) — we add offset/has_leaf when popped
+    queue: list[tuple[int, dict]] = [(0, root)]
+    while queue:
+        pos, node = queue.pop(0)
+        has_value = -1 in node
+        labels = sorted(l for l in node if l != -1)
+        slots = ([0] if has_value else []) + labels
+        if not slots:
+            continue
+        o = 1
+        while True:
+            grow(pos ^ o ^ 255)
+            if (pos ^ o) not in used_base and \
+                    all(not used[pos ^ o ^ l] and (pos ^ o ^ l) != 0
+                        for l in slots):
+                break
+            o += 1
+        used_base.add(pos ^ o)
+        if pos == 0 and o >= 512:  # pragma: no cover - open() sanity bound
+            raise ValueError("root offset >= 512; input too adversarial")
+        units[pos] = _encode_offset(
+            units[pos] | (_HAS_LEAF if has_value else 0), o)
+        if has_value:
+            leaf = pos ^ o
+            used[leaf] = 1
+            units[leaf] = _LEAF_BIT | int(node[-1])
+        for l in labels:
+            child = pos ^ o ^ l
+            used[child] = 1
+            units[child] = l
+            queue.append((child, node[l]))
+
+    # darts' open() reads the first 256 units for a sanity probe and
+    # requires every unit's offset to stay inside the array
+    arr = np.asarray(units, dtype="<u4")
+    arr.tofile(path)
+    return len(units)
+
+
+def read_dct(path: str) -> dict[str, list[int]]:
+    """Decode a ``.dct`` (darts-clone unit dump — figa-written or
+    write_dct's) back into a namelist dict."""
+    units = np.fromfile(path, dtype="<u4")
+    n = len(units)
+    if n == 0:
+        return {}
+    label = units & 0xFF
+    is_node = (units & _LEAF_BIT) == 0
+    offset = (units >> 10).astype(np.int64) << ((units & _EXT_BIT) >> 6)
+    has_leaf = (units & _HAS_LEAF) != 0
+
+    out: dict[str, list[tuple[int, int]]] = {}
+    stack: list[tuple[int, bytes]] = [(0, b"")]
+    seen = {0}  # every unit has one parent; guards malformed files
+    while stack:
+        pos, key = stack.pop()
+        o = int(offset[pos])
+        if has_leaf[pos]:
+            leaf = pos ^ o
+            if leaf < n and not is_node[leaf]:
+                core = key.rstrip(b"\x01")
+                n01 = len(key) - len(core)
+                if n01 != 1 and (core or n01):
+                    try:
+                        k = core.decode("utf-8")
+                    except UnicodeDecodeError:
+                        k = None
+                    if k is not None:
+                        v = int(units[leaf] & (_LEAF_BIT - 1))
+                        out.setdefault(k, []).append(
+                            (0 if n01 == 0 else n01 - 2, v))
+        base = pos ^ o
+        for c in range(1, 256):
+            child = base ^ c
+            if child < n and child != 0 and child not in seen \
+                    and is_node[child] and int(label[child]) == c:
+                seen.add(child)
+                stack.append((child, key + bytes([c])))
 
     return {k: [v for _, v in sorted(pv)] for k, pv in out.items()}

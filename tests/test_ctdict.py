@@ -20,7 +20,7 @@ import subprocess
 
 import pytest
 
-from ner_spark.io.ctdict import read_ct, write_ct
+from ner_spark.io.ctdict import read_ct, read_dct, write_ct, write_dct
 
 REF_SRC = "/root/reference/figa/src"
 _FIGA_FILES = ["main.cpp", "figa_cedar.cpp", "figa_cedar.h",
@@ -37,27 +37,31 @@ NAMELIST = {
 }
 
 
-def test_ct_roundtrip_small():
-    import tempfile
-    with tempfile.TemporaryDirectory() as d:
-        p = os.path.join(d, "a.ct")
-        n = write_ct(NAMELIST.items(), p)
-        assert n % 256 == 0          # cedar block padding
-        assert read_ct(p) == NAMELIST
+@pytest.mark.parametrize("write,read,ext", [
+    (write_ct, read_ct, "ct"), (write_dct, read_dct, "dct")])
+def test_binary_dict_roundtrip_small(write, read, ext, tmp_path):
+    p = str(tmp_path / f"a.{ext}")
+    n = write(NAMELIST.items(), p)
+    assert n % 256 == 0          # block padding
+    assert read(p) == NAMELIST
 
 
-def test_ct_roundtrip_full_fixture_namelist(kb_rows, tmp_path):
+@pytest.mark.parametrize("write,read,ext", [
+    (write_ct, read_ct, "ct"), (write_dct, read_dct, "dct")])
+def test_binary_dict_roundtrip_full_fixture(write, read, ext,
+                                            kb_rows, tmp_path):
     from ner_spark.semantics.kb import KBBundle, build_namelist
 
     nl = build_namelist(KBBundle.from_rows(kb_rows))
-    p = str(tmp_path / "kb.ct")
-    write_ct(nl.items(), p)
-    assert read_ct(p) == nl
+    p = str(tmp_path / f"kb.{ext}")
+    write(nl.items(), p)
+    assert read(p) == nl
 
 
-def test_ct_rejects_unrepresentable_keys(tmp_path):
+@pytest.mark.parametrize("write,ext", [(write_ct, "ct"), (write_dct, "dct")])
+def test_binary_dict_rejects_unrepresentable_keys(write, ext, tmp_path):
     with pytest.raises(ValueError):
-        write_ct([("bad\x01key", [1])], str(tmp_path / "x.ct"))
+        write([("bad\x01key", [1])], str(tmp_path / f"x.{ext}"))
 
 
 # -- layer 2: the reference binary itself -----------------------------------
@@ -95,25 +99,27 @@ def _lookup(figa: str, ct: str, text: str) -> str:
     return r.stdout
 
 
-def test_figa_written_ct_decodes(figa_bin, tmp_path):
+@pytest.mark.parametrize("read,ext", [(read_ct, "ct"), (read_dct, "dct")])
+def test_figa_written_dict_decodes(read, ext, figa_bin, tmp_path):
     nl_file = str(tmp_path / "namelist")
     with open(nl_file, "w") as fh:
         fh.write(_namelist_text(NAMELIST))
-    theirs = str(tmp_path / "theirs.ct")
+    theirs = str(tmp_path / f"theirs.{ext}")
     subprocess.run([figa_bin, "-d", nl_file, "-n", "-w", theirs],
                    check=True, capture_output=True)
-    assert read_ct(theirs) == NAMELIST
+    assert read(theirs) == NAMELIST
 
 
-def test_figa_loads_our_ct_identically(figa_bin, tmp_path):
+@pytest.mark.parametrize("write,ext", [(write_ct, "ct"), (write_dct, "dct")])
+def test_figa_loads_our_dict_identically(write, ext, figa_bin, tmp_path):
     nl_file = str(tmp_path / "namelist")
     with open(nl_file, "w") as fh:
         fh.write(_namelist_text(NAMELIST))
-    theirs = str(tmp_path / "theirs.ct")
+    theirs = str(tmp_path / f"theirs.{ext}")
     subprocess.run([figa_bin, "-d", nl_file, "-n", "-w", theirs],
                    check=True, capture_output=True)
-    ours = str(tmp_path / "ours.ct")
-    write_ct(NAMELIST.items(), ours)
+    ours = str(tmp_path / f"ours.{ext}")
+    write(NAMELIST.items(), ours)
 
     text = ("I saw New York and Praha with Jan Novak in Žofín ; "
             "Antonín Dvořák was there .\n")
@@ -123,15 +129,17 @@ def test_figa_loads_our_ct_identically(figa_bin, tmp_path):
     assert "New York" in out_ours and "Žofín" in out_ours
 
 
-def test_figa_reads_full_fixture_ct(figa_bin, kb_rows, tmp_path):
-    """The unmodified reference binary loads a write_ct of the FULL
+@pytest.mark.parametrize("write,ext", [(write_ct, "ct"), (write_dct, "dct")])
+def test_figa_reads_full_fixture_dict(write, ext, figa_bin, kb_rows,
+                                      tmp_path):
+    """The unmodified reference binary loads a write of the FULL
     fixture-KB namelist and finds a known entity."""
     from ner_spark.semantics.kb import KBBundle, build_namelist
 
     kb = KBBundle.from_rows(kb_rows)
     nl = build_namelist(kb)
-    ours = str(tmp_path / "kb.ct")
-    write_ct(nl.items(), ours)
+    ours = str(tmp_path / f"kb.{ext}")
+    write(nl.items(), ours)
     name = kb.get_data_for(1, "NAME")
     out = _lookup(figa_bin, ours, f"We met {name} yesterday .\n")
     assert name in out, out
