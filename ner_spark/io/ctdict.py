@@ -195,12 +195,11 @@ def write_dct(items, path: str) -> int:
     """Compile namelist items into a figa-loadable darts-clone ``.dct``.
     Same key/value conventions as write_ct; returns the unit count."""
     entries = _expand_items(items)
-    for kb, _ in entries:
+    for kb, v in entries:
         if b"\x00" in kb or b"\x01" in kb.rstrip(b"\x01"):
             raise ValueError(f"key not representable in .dct: {kb!r}")
-        for _, v in entries:
-            if v < 0 or v >= _LEAF_BIT:
-                raise ValueError(f"value {v} out of darts 31-bit range")
+        if v < 0 or v >= _LEAF_BIT:
+            raise ValueError(f"value {v} out of darts 31-bit range")
 
     root: dict = {}
     for kb, v in entries:
