@@ -201,8 +201,10 @@ def compile_kb(spark: SparkSession, rows: list[dict],
                 k = remove_accent(k)
             return k.lower() if lowercase else k
         namelist = _transform_namelist(namelist, tf, bundle.get_score)
-    if qid_mode:
+    if qid_mode and not uri_mode:
         # -Q: line number → stripped Q-id; 0 stays the fragment marker.
+        # URI mode is exempt: the reference's -u branch passes str(line_num)
+        # unconditionally (KB2namelist.py:977-980), ignoring --entity_id.
         # Order within a key is preserved (confidence-desc from the merge);
         # duplicates after remap (two lines sharing a qid) collapse to the
         # first, highest-confidence occurrence.
