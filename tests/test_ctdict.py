@@ -143,3 +143,26 @@ def test_figa_reads_full_fixture_dict(write, ext, figa_bin, kb_rows,
     name = kb.get_data_for(1, "NAME")
     out = _lookup(figa_bin, ours, f"We met {name} yesterday .\n")
     assert name in out, out
+
+
+def test_migrate_automaton_roundtrip(tmp_path):
+    """tools/migrate_automaton: namelist TSV → .dct → .atm → .ct → TSV
+    preserves the namelist exactly."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "migrate_automaton", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools", "migrate_automaton.py"))
+    mig = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mig)
+
+    from ner_spark.kb.artifacts import write_namelist_tsv
+
+    tsv0 = str(tmp_path / "a.tsv")
+    with open(tsv0, "w") as fh:
+        write_namelist_tsv(NAMELIST, fh)
+    chain = [tsv0, str(tmp_path / "b.dct"), str(tmp_path / "c.atm"),
+             str(tmp_path / "d.ct"), str(tmp_path / "e.tsv")]
+    for src, dst in zip(chain, chain[1:]):
+        mig._write(mig._read(src), dst, "v-test")
+    assert mig._read(chain[-1]) == NAMELIST
