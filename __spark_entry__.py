@@ -712,10 +712,13 @@ def q_dedup_minhash(spark, sf_dir):  # rows-only (driver)
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-def q_dedup_simhash(spark, sf_dir):  # rows-only (driver)
+def q_dedup_simhash(spark, sf_dir):
     """Radius 3 → 4×16-bit bands, the web-scale-sane configuration
     (larger radii mean narrower bands and quadratically bigger buckets;
-    the generic radius-h banding is recall-tested in pytest at 3/5/8)."""
+    the generic radius-h banding is recall-tested in pytest at 3/5/8).
+    Exact-oracle-backed since late r4: FNV-1a + bit votes replayed in
+    DuckDB HUGEINT arithmetic; pigeonhole makes banding lossless at the
+    radius, so the oracle is the plain Hamming-≤3 pair set."""
     return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
@@ -865,7 +868,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     via text_token_stats + gopher_quality + text_repetition),
     ``dedup_exact`` (digest device via corpus_split md5 +
     dedup_clusters), and ``kgc_connected_components`` (the CC device via
-    kgc_sameas / kgc_type_conflicts / dedup_clusters).  Still parked from
+    kgc_sameas / kgc_type_conflicts / dedup_clusters); late-r4,
+    ``session_windows`` parks too (same 30-min-gap sessionization device
+    as the in-window ``event_sessions``) to make room for
+    ``dedup_simhash``'s new exact FNV-replay oracle.  Still parked from
     r2/r3: ``embed_lsh_full`` / ``embed_ivf_full`` (oracle SQL literally
     ``embed_knn``'s — degenerate configs ≡ brute force, pytest-pinned)
     and ``salted_count`` / ``revenue_rollup`` / ``tpch_q5_like`` /
@@ -879,7 +885,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "salted_join": q_salted_join,
         "asof_join_events": q_asof_join_events,
-        "session_windows": q_session_windows,
+        # -- upgraded rows-only → exact oracle (r4 late): FNV-1a/SimHash
+        # replayed in DuckDB (recursive-CTE byte fold); pigeonhole makes
+        # the banded join exact at the configured radius, so the oracle
+        # is the plain ≤h all-pairs over the replayed signatures
+        "dedup_simhash": q_dedup_simhash,
         "order_window_shipments": q_order_window_shipments,
         "event_props_json": q_event_props_json,
         "event_value_quantiles": q_event_value_quantiles,
@@ -945,11 +955,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_frequency": q_word_frequency,
         "dedup_exact": q_dedup_exact,
         "kgc_connected_components": q_kgc_connected_components,
+        # session device still in-window via event_sessions (identical
+        # 30-min-gap semantics, lag+cumsum vs F.session_window impls)
+        "session_windows": q_session_windows,
         # ---- rows-only (approximate/iterative by design; no oracle) ----
         "distinct_users_hll": q_distinct_users_hll,
         "kgc_entity_dates": q_kgc_entity_dates,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
         "embed_lsh": q_embed_lsh,
         "embed_ivf": q_embed_ivf,
         "embed_lsh_near_dup": q_embed_lsh_near_dup,
@@ -1781,6 +1793,61 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        """,
+        # FNV-1a 64-bit replayed byte-by-byte (recursive CTE over the
+        # UTF-8 hex dump, HUGEINT mod-2^64 arithmetic — textops/dedup.py
+        # _fnv1a), SimHash bit votes per doc, then the plain Hamming-≤3
+        # all-pairs (pigeonhole: banding is lossless at the radius).
+        # HUGEINT never reaches the projection (contract test bans it).
+        "dedup_simhash": """
+            WITH RECURSIVE
+            tok AS (
+              SELECT DISTINCT doc_id, t.tok AS tok
+              FROM documents,
+                   unnest(string_split(coalesce(text, ''), ' ')) AS t(tok)
+              WHERE t.tok <> ''
+            ),
+            tb AS (
+              SELECT doc_id, to_hex(encode(tok)) AS hx,
+                     octet_length(encode(tok)) AS n
+              FROM tok
+            ),
+            fnv AS (
+              SELECT doc_id, hx, n, 0 AS i,
+                     14695981039346656037::HUGEINT AS h FROM tb
+              UNION ALL
+              SELECT doc_id, hx, n, i + 1,
+                     (xor(h, CAST(concat('0x', substring(hx, 2 * i + 1, 2))
+                                  AS INTEGER)::HUGEINT)
+                      * 1099511628211) % 18446744073709551616::HUGEINT
+              FROM fnv WHERE i < n
+            ),
+            th AS (SELECT DISTINCT doc_id, h FROM fnv WHERE i = n),
+            votes AS (
+              SELECT doc_id, b.b, b.p,
+                     count(*) FILTER (WHERE (h >> b.b) % 2 = 1) AS cnt1,
+                     count(*) AS cnt
+              FROM th, (SELECT r AS b, (1::HUGEINT << r) AS p
+                        FROM range(64) t(r)) b
+              GROUP BY doc_id, b.b, b.p
+            ),
+            sims0 AS (
+              SELECT doc_id,
+                     sum(CASE WHEN 2 * cnt1 > cnt
+                              THEN p ELSE 0::HUGEINT END) AS sim
+              FROM votes GROUP BY doc_id
+            ),
+            sims AS (
+              -- tokenless docs hash the empty shingle: FNV offset basis
+              SELECT d.doc_id,
+                     coalesce(s.sim, 14695981039346656037::HUGEINT) AS sim
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              LEFT JOIN sims0 s USING (doc_id)
+            )
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
         """,
         "dedup_clusters": """
             WITH RECURSIVE

@@ -68,7 +68,10 @@ _REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {
     # thrice-green, parked r4:
     "tpch_q3_like", "top_order_per_customer", "text_fingerprint",
     "text_langid", "text_quality", "text_token_bpe", "word_frequency",
-    "dedup_exact", "kgc_connected_components"}
+    "dedup_exact", "kgc_connected_components",
+    # parked late-r4 for dedup_simhash's new exact oracle: identical
+    # 30-min-gap sessionization device stays in-window via event_sessions
+    "session_windows"}
 
 
 def test_every_oracle_has_a_query_and_matching_order():
