@@ -708,7 +708,13 @@ def q_dedup_jaccard(spark, sf_dir):
                              block_col="source", threshold=0.5)
 
 
-def q_dedup_minhash(spark, sf_dir):  # rows-only (driver)
+def q_dedup_minhash(spark, sf_dir):
+    """Banded MinHash-LSH candidates + signature-agreement verify.
+    Exact-oracle-backed since late r4: the seeded permutation constants
+    are generated driver-side in oracle_sql() and embedded as SQL
+    literals, the FNV shingle hashes replayed in HUGEINT arithmetic
+    (incl. numpy's uint64 wrap-around), and banding replicated as
+    slice-equality — LSH is a deterministic function of the signatures."""
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
@@ -869,9 +875,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``dedup_exact`` (digest device via corpus_split md5 +
     dedup_clusters), and ``kgc_connected_components`` (the CC device via
     kgc_sameas / kgc_type_conflicts / dedup_clusters); late-r4,
-    ``session_windows`` parks too (same 30-min-gap sessionization device
-    as the in-window ``event_sessions``) to make room for
-    ``dedup_simhash``'s new exact FNV-replay oracle.  Still parked from
+    ``session_windows`` and ``dedup_ngram_jaccard`` park too (devices
+    covered in-window by ``event_sessions`` and ``dedup_jaccard`` /
+    ``decontaminate``) to make room for ``dedup_simhash``'s and
+    ``dedup_minhash``'s new exact FNV-replay oracles.  Still parked from
     r2/r3: ``embed_lsh_full`` / ``embed_ivf_full`` (oracle SQL literally
     ``embed_knn``'s — degenerate configs ≡ brute force, pytest-pinned)
     and ``salted_count`` / ``revenue_rollup`` / ``tpch_q5_like`` /
@@ -923,7 +930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_cube": q_revenue_cube,
         "common_part_sizes": q_common_part_sizes,
         "event_sessions": q_event_sessions,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # -- upgraded rows-only → exact oracle (r4 late): MinHash replay
+        # with the driver-side permutation constants embedded as SQL
+        # literals; banding is a deterministic function of the signatures
+        "dedup_minhash": q_dedup_minhash,
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
@@ -958,10 +968,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # session device still in-window via event_sessions (identical
         # 30-min-gap semantics, lag+cumsum vs F.session_window impls)
         "session_windows": q_session_windows,
+        # shingle-explode device still in-window via dedup_jaccard's
+        # candidate stage and decontaminate's shingle semi-join
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         # ---- rows-only (approximate/iterative by design; no oracle) ----
         "distinct_users_hll": q_distinct_users_hll,
         "kgc_entity_dates": q_kgc_entity_dates,
-        "dedup_minhash": q_dedup_minhash,
         "embed_lsh": q_embed_lsh,
         "embed_ivf": q_embed_ivf,
         "embed_lsh_near_dup": q_embed_lsh_near_dup,
@@ -1233,6 +1245,16 @@ _CORPUS_SPLIT_SQL = _corpus_split_sql()
 
 
 def oracle_sql() -> dict[str, str]:
+    # dedup_minhash: the same seeded affine-permutation constants the
+    # Spark kernel draws (textops/dedup.py:143-145), embedded as literals
+    import numpy as np
+    _rng = np.random.RandomState(42)
+    _M = (1 << 61) - 1
+    _A = _rng.randint(1, _M, size=64, dtype=np.int64)
+    _B = _rng.randint(0, _M, size=64, dtype=np.int64)
+    minhash_perm = ", ".join(
+        f"({k}, {int(_A[k])}::HUGEINT, {int(_B[k])}::HUGEINT)"
+        for k in range(64))
     lang_scores = ", ".join(
         "len(list_filter(toks, x -> x IN (%s))) AS score_%s" % (m, l)
         for l, m in _LANGS_SQL.items())
@@ -1794,6 +1816,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
                   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
         """,
+        # MinHash replayed exactly: FNV-1a 3-gram shingle hashes (same
+        # recursive byte fold as dedup_simhash below), then per-k minima
+        # of the affine permutations WITH numpy's uint64 wrap-around
+        # ((h*a mod 2^64 + b) mod 2^64 mod (2^61-1)), then banding as
+        # 4-element slice equality (LSH candidates are a deterministic
+        # function of signatures; Spark's xxhash64 band key only changes
+        # the join key rendering, not membership) and the same rounded
+        # agreement-ratio threshold.
+        "dedup_minhash": """
+            WITH RECURSIVE
+            tok AS (SELECT doc_id,
+                           list_filter(string_split(coalesce(text,''),' '),
+                                       x -> x <> '') AS toks
+                    FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 3
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_transform(range(1, len(toks) - 1),
+                                 i -> concat_ws(' ', toks[i], toks[i+1],
+                                                toks[i+2]))
+                     END AS gs
+              FROM tok),
+            g AS (SELECT DISTINCT doc_id, t.gram AS gram
+                  FROM grams, unnest(gs) AS t(gram)),
+            gb AS (SELECT doc_id, to_hex(encode(gram)) AS hx,
+                          octet_length(encode(gram)) AS n FROM g),
+            fnv AS (
+              SELECT doc_id, hx, n, 0 AS i,
+                     14695981039346656037::HUGEINT AS h FROM gb
+              UNION ALL
+              SELECT doc_id, hx, n, i + 1,
+                     (xor(h, CAST(concat('0x', substring(hx, 2*i+1, 2))
+                                  AS INTEGER)::HUGEINT)
+                      * 1099511628211) % 18446744073709551616::HUGEINT
+              FROM fnv WHERE i < n),
+            th AS (SELECT DISTINCT doc_id, h FROM fnv WHERE i = n),
+            perm(k, a, b) AS (VALUES {MINHASH_PERM}),
+            sigk AS (
+              SELECT doc_id, k,
+                     CAST(min((((h * a) % 18446744073709551616::HUGEINT
+                                + b) % 18446744073709551616::HUGEINT)
+                              % 2305843009213693951::HUGEINT) AS BIGINT)
+                       AS v
+              FROM th, perm GROUP BY doc_id, k),
+            sigl AS (SELECT doc_id, list(v ORDER BY k) AS sig
+                     FROM sigk GROUP BY doc_id)
+            SELECT id1, id2, round(matches / 64.0, 4) AS est_jaccard
+            FROM (
+              SELECT a.doc_id AS id1, b.doc_id AS id2,
+                     len(list_filter(range(1,65),
+                                     i -> a.sig[i] = b.sig[i])) AS matches,
+                     len(list_filter(range(0,16),
+                           bb -> a.sig[bb*4+1:bb*4+4]
+                                 = b.sig[bb*4+1:bb*4+4])) AS nbands
+              FROM sigl a JOIN sigl b ON a.doc_id < b.doc_id)
+            WHERE nbands >= 1 AND round(matches / 64.0, 4) >= 0.5
+        """.replace("{MINHASH_PERM}", minhash_perm),
         # FNV-1a 64-bit replayed byte-by-byte (recursive CTE over the
         # UTF-8 hex dump, HUGEINT mod-2^64 arithmetic — textops/dedup.py
         # _fnv1a), SimHash bit votes per doc, then the plain Hamming-≤3

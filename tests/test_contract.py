@@ -69,9 +69,11 @@ _REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {
     "tpch_q3_like", "top_order_per_customer", "text_fingerprint",
     "text_langid", "text_quality", "text_token_bpe", "word_frequency",
     "dedup_exact", "kgc_connected_components",
-    # parked late-r4 for dedup_simhash's new exact oracle: identical
-    # 30-min-gap sessionization device stays in-window via event_sessions
-    "session_windows"}
+    # parked late-r4 for dedup_simhash's / dedup_minhash's new exact
+    # oracles: the 30-min-gap sessionization device stays in-window via
+    # event_sessions; the shingle-explode device via dedup_jaccard's
+    # candidate stage and decontaminate's shingle semi-join
+    "session_windows", "dedup_ngram_jaccard"}
 
 
 def test_every_oracle_has_a_query_and_matching_order():
