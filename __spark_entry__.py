@@ -511,19 +511,38 @@ def q_word_frequency(spark, sf_dir):
 
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signal: fraction of all word trigrams taken
-    by the single most frequent trigram (high → boilerplate/spam)."""
+    by the single most frequent trigram (high → boilerplate/spam).
+
+    ZERO-shuffle plan (late r4): the per-document mode count folds over
+    the sorted trigram array inside whole-stage codegen (run-length max
+    via F.aggregate) instead of explode → groupBy(doc, trigram) →
+    groupBy(doc) — the old shape shuffled every trigram of the corpus,
+    which at 100 TB is a corpus-sized shuffle of shingles for a
+    purely per-document statistic."""
     d = _t(spark, sf_dir, "documents")
     toks = tokens_col("text")
-    tri = F.transform(
+    tri = F.array_sort(F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
-    g = (d.select("doc_id", F.explode(tri).alias("g"))
-          .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c")))
-    return (g.groupBy("doc_id")
-             .agg(F.sum("c").alias("n_trigrams"),
-                  F.max("c").alias("top_count"))
-             .withColumn("top_fraction",
-                         F.round(F.col("top_count") / F.col("n_trigrams"), 6)))
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3))))
+    zero = F.lit(0).cast("long")
+    acc = F.aggregate(
+        tri,
+        F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                 zero.alias("mx"), zero.alias("n")),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a.prev, a.run + 1).otherwise(F.lit(1).cast("long"))
+             .alias("run"),
+            F.greatest(
+                a.mx,
+                F.when(x == a.prev, a.run + 1)
+                 .otherwise(F.lit(1).cast("long"))).alias("mx"),
+            (a.n + 1).alias("n")))
+    return d.select(
+        "doc_id",
+        acc.n.alias("n_trigrams"),
+        acc.mx.alias("top_count"),
+        F.round(acc.mx / acc.n, 6).alias("top_fraction"))
 
 
 def q_quality_filter(spark, sf_dir):
