@@ -545,6 +545,33 @@ def q_text_repetition(spark, sf_dir):
         F.round(acc.mx / acc.n, 6).alias("top_fraction"))
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (textops/urls.py) — the CC curation stage
+    before URL-level dedup and per-domain quotas.  The documents table
+    carries no URL column, so a deterministically messy URL is derived
+    per doc IN THE QUERY (mixed-case scheme/host, default port,
+    tracking-param runs, fragments, mod-selected); both engines build
+    the same raw string and the canonicalization TRANSFORM is what the
+    hash compares."""
+    from ner_spark.textops.urls import canonicalize_url, url_domain
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM:443/p/"),
+        did,
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("?utm_source=x&id="), did))
+         .when(F.col("doc_id") % 3 == 1,
+               F.concat(F.lit("?id="), did, F.lit("&utm_b=2&gclid=z")))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit("")))
+    return d.select(
+        "doc_id",
+        canonicalize_url(raw).alias("url"),
+        url_domain(raw).alias("domain"))
+
+
 def q_quality_filter(spark, sf_dir):
     """Composed curation gate: token-count bounds + stopword floor +
     alpha-ratio floor (Gopher-rule shape); emits kept docs with the
@@ -943,7 +970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgc_kcore": q_kgc_kcore,
         "gopher_quality": q_gopher_quality,
         "text_repetition": q_text_repetition,
-        "quality_filter": q_quality_filter,
+        # -- new late-r4 (never driver-checked → in-window): URL
+        # canonicalization, the CC curation stage before URL dedup
+        "url_canonical": q_url_canonical,
         "priority_pivot": q_priority_pivot,
         "sql_udf_sanitize": q_sql_udf_sanitize,
         "revenue_cube": q_revenue_cube,
@@ -990,6 +1019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shingle-explode device still in-window via dedup_jaccard's
         # candidate stage and decontaminate's shingle semi-join
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # quality-gate family still in-window via gopher_quality (the
+        # strictly richer composite) + text_repetition
+        "quality_filter": q_quality_filter,
         # ---- rows-only (approximate/iterative by design; no oracle) ----
         "distinct_users_hll": q_distinct_users_hll,
         "kgc_entity_dates": q_kgc_entity_dates,
@@ -1893,6 +1925,59 @@ def oracle_sql() -> dict[str, str]:
               FROM sigl a JOIN sigl b ON a.doc_id < b.doc_id)
             WHERE nbands >= 1 AND round(matches / 64.0, 4) >= 0.5
         """.replace("{MINHASH_PERM}", minhash_perm),
+        # same raw-URL derivation, then the generic canonicalization
+        # replayed with DuckDB string/list ops (lower head, strip
+        # default port, drop fragment, list_filter the tracking params)
+        "url_canonical": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     'HTTPS://WWW.' || source || '.Example.COM:443/p/'
+                     || doc_id ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN '?utm_source=x&id=' || doc_id
+                          WHEN doc_id % 3 = 1
+                          THEN '?id=' || doc_id || '&utm_b=2&gclid=z'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END
+                       AS url
+              FROM documents),
+            s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u
+                   FROM raw),
+            s2 AS (SELECT doc_id, u,
+                          regexp_extract(u,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS head
+                   FROM s1),
+            s3 AS (SELECT doc_id,
+                          regexp_replace(regexp_replace(lower(head),
+                            '^(http://[^/:?#]*):80$', '\1'),
+                            '^(https://[^/:?#]*):443$', '\1') AS head2,
+                          substring(u, length(head) + 1) AS tail
+                   FROM s2),
+            s4 AS (SELECT doc_id, head2,
+                          CASE WHEN position('?' IN tail) > 0
+                               THEN substring(tail, 1,
+                                              position('?' IN tail) - 1)
+                               ELSE tail END AS path,
+                          CASE WHEN position('?' IN tail) > 0
+                               THEN substring(tail,
+                                              position('?' IN tail) + 1)
+                               ELSE '' END AS query
+                   FROM s3),
+            s5 AS (SELECT doc_id, head2, path,
+                          list_filter(string_split(query, '&'),
+                            p -> p <> '' AND NOT regexp_matches(lower(p),
+                              '^(utm_[^=]*|fbclid|gclid|msclkid|ref)='))
+                            AS kept
+                   FROM s4)
+            SELECT doc_id,
+                   head2 || path ||
+                   CASE WHEN len(kept) > 0
+                        THEN '?' || array_to_string(kept, '&')
+                        ELSE '' END AS url,
+                   regexp_extract(head2,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^:/?#]*)', 1) AS domain
+            FROM s5
+        """,
         # FNV-1a 64-bit replayed byte-by-byte (recursive CTE over the
         # UTF-8 hex dump, HUGEINT mod-2^64 arithmetic — textops/dedup.py
         # _fnv1a), SimHash bit votes per doc, then the plain Hamming-≤3

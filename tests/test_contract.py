@@ -73,7 +73,10 @@ _REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {
     # oracles: the 30-min-gap sessionization device stays in-window via
     # event_sessions; the shingle-explode device via dedup_jaccard's
     # candidate stage and decontaminate's shingle semi-join
-    "session_windows", "dedup_ngram_jaccard"}
+    "session_windows", "dedup_ngram_jaccard",
+    # parked late-r4 for url_canonical (new, never driver-checked):
+    # quality-gate family in-window via gopher_quality + text_repetition
+    "quality_filter"}
 
 
 def test_every_oracle_has_a_query_and_matching_order():
