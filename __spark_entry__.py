@@ -545,6 +545,14 @@ def q_text_repetition(spark, sf_dir):
         F.round(acc.mx / acc.n, 6).alias("top_fraction"))
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Exact-substring duplication stats (Lee et al. ExactSubstr
+    detection stage as a 20-token window-fingerprint join) — see
+    textops/dedup.duplicated_window_stats."""
+    from ner_spark.textops.dedup import duplicated_window_stats
+    return duplicated_window_stats(_t(spark, sf_dir, "documents"), window=20)
+
+
 def q_url_canonical(spark, sf_dir):
     """URL canonicalization (textops/urls.py) — the CC curation stage
     before URL-level dedup and per-domain quotas.  The documents table
@@ -953,7 +961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_exact": q_distinct_users_exact,
         "click_only_users": q_click_only_users,
         "text_token_stats": q_text_token_stats,
-        "kgc_mention_counts": q_kgc_mention_counts,
+        # -- new late-r4 (never driver-checked → in-window): Lee et al.
+        # ExactSubstr detection as a window-fingerprint join
+        "dedup_substring": q_dedup_substring,
         "kgc_mention_kb_join": q_kgc_mention_kb_join,
         "kgc_comention_pairs": q_kgc_comention_pairs,
         "kgc_triples": q_kgc_triples,
@@ -1022,6 +1032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality-gate family still in-window via gopher_quality (the
         # strictly richer composite) + text_repetition
         "quality_filter": q_quality_filter,
+        # extraction+count device still in-window via kgc_entity_degree /
+        # kgc_comention_pairs / kgc_triples (all run the same scan)
+        "kgc_mention_counts": q_kgc_mention_counts,
         # ---- rows-only (approximate/iterative by design; no oracle) ----
         "distinct_users_hll": q_distinct_users_hll,
         "kgc_entity_dates": q_kgc_entity_dates,
@@ -1925,6 +1938,32 @@ def oracle_sql() -> dict[str, str]:
               FROM sigl a JOIN sigl b ON a.doc_id < b.doc_id)
             WHERE nbands >= 1 AND round(matches / 64.0, 4) >= 0.5
         """.replace("{MINHASH_PERM}", minhash_perm),
+        # the window-fingerprint join replayed 1:1 (md5 hex renders
+        # identically; slice clamping matches Spark's for short docs)
+        "dedup_substring": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split(text, ' '),
+                                          x -> x <> '') AS toks
+                       FROM documents),
+            w AS (SELECT doc_id,
+                         list_transform(
+                           range(1, greatest(len(toks) - 20 + 1, 1) + 1),
+                           i -> md5(array_to_string(toks[i:i+19], ' ')))
+                           AS wins
+                  FROM t),
+            ex AS (SELECT doc_id, u.w AS w FROM w, unnest(wins) AS u(w)),
+            dup AS (SELECT w FROM ex GROUP BY w HAVING count(*) > 1),
+            pd AS (SELECT doc_id, count(*) AS n_dup
+                   FROM ex JOIN dup USING (w) GROUP BY doc_id),
+            tot AS (SELECT t.doc_id,
+                           greatest(len(toks) - 20 + 1, 1) AS n_windows
+                    FROM t)
+            SELECT tot.doc_id,
+                   CAST(n_windows AS BIGINT) AS n_windows,
+                   CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_windows,
+                   round(coalesce(n_dup, 0) / n_windows, 6) AS dup_ratio
+            FROM tot LEFT JOIN pd USING (doc_id)
+        """,
         # same raw-URL derivation, then the generic canonicalization
         # replayed with DuckDB string/list ops (lower head, strip
         # default port, drop fragment, list_filter the tracking params)

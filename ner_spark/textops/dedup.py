@@ -383,3 +383,45 @@ def dedup_clusters(df: DataFrame, block_col: str | None = "source",
                 F.coalesce("component", "doc_id").alias("canonical_id"))
         .withColumn("is_kept", F.col("doc_id") == F.col("canonical_id"))
     )
+
+
+def duplicated_window_stats(df: DataFrame, window: int = 20,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Exact-substring duplication detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    ExactSubstr detection stage, re-expressed relationally): a document's
+    token windows of length ``window`` are fingerprinted (md5 of the
+    space-joined window — renders identically in DuckDB, the
+    corpus_split precedent), a window is *duplicated* if its fingerprint
+    occurs more than once in the corpus (across documents OR repeated
+    within one), and each document reports how much of it is covered by
+    duplicated windows.
+
+    → (id, n_windows, n_dup_windows, dup_ratio).
+
+    Scale shape: the only shuffle moves 32-hex window digests, never
+    text (hash-groupBy with map-side partial count — the exact-dedup
+    class); the suffix-array machinery of the reference implementation
+    is replaced by the equivalent fixed-window fingerprint join, which
+    is the standard distributed form.  Docs shorter than ``window``
+    contribute their single whole-text window, so full-doc duplicates
+    are still caught."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - window + 1, F.lit(1))),
+        lambda i: F.md5(F.encode(F.concat_ws(" ", F.slice(toks, i, window)),
+                                 "utf-8")))
+    ex = df.select(F.col(id_col), F.explode(wins).alias("w"))
+    dup = (ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") > 1).select("w"))
+    per_doc = (ex.join(dup, "w", "left_semi")
+                 .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_windows")))
+    totals = df.select(F.col(id_col),
+                       F.greatest(F.size(toks) - window + 1, F.lit(1))
+                        .alias("n_windows"))
+    return (totals.join(per_doc, id_col, "left")
+            .select(id_col, "n_windows",
+                    F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+                    F.round(F.coalesce("n_dup_windows", F.lit(0))
+                            / F.col("n_windows"), 6).alias("dup_ratio")))

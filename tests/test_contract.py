@@ -74,9 +74,11 @@ _REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {
     # event_sessions; the shingle-explode device via dedup_jaccard's
     # candidate stage and decontaminate's shingle semi-join
     "session_windows", "dedup_ngram_jaccard",
-    # parked late-r4 for url_canonical (new, never driver-checked):
-    # quality-gate family in-window via gopher_quality + text_repetition
-    "quality_filter"}
+    # parked late-r4 for url_canonical / dedup_substring (new, never
+    # driver-checked): quality-gate family in-window via gopher_quality
+    # + text_repetition; extraction+count via kgc_entity_degree /
+    # kgc_comention_pairs / kgc_triples
+    "quality_filter", "kgc_mention_counts"}
 
 
 def test_every_oracle_has_a_query_and_matching_order():
