@@ -268,3 +268,34 @@ def test_gopher_rules_crlf_lines(spark):
     df = spark.createDataFrame([("d", text)], "doc_id string, text string")
     r = gopher_rules(df, min_words=1).collect()[0]
     assert r.ellipsis_line_frac == 2 / 3
+
+
+def test_duplicated_window_stats(spark):
+    """ExactSubstr detection: only the shared 20-token passage's windows
+    count as duplicated; a within-doc repeat counts twice; short unique
+    docs report zero."""
+    from ner_spark.textops.dedup import duplicated_window_stats
+
+    passage = " ".join(f"p{i}" for i in range(20))      # 20 shared tokens
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    docs = [
+        (1, f"{uniq('a', 10)} {passage} {uniq('b', 10)}"),   # 40 toks
+        (2, f"{uniq('c', 5)} {passage}"),                    # 25 toks
+        (3, f"{passage} {passage}"),                         # within-doc repeat
+        (4, uniq("d", 8)),                                   # short + unique
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           duplicated_window_stats(df, window=20).collect()}
+    # doc 1: 21 windows, exactly one (the passage itself) duplicated
+    assert (out[1].n_windows, out[1].n_dup_windows) == (21, 1)
+    # doc 2: 6 windows, one duplicated
+    assert (out[2].n_windows, out[2].n_dup_windows) == (6, 1)
+    # doc 3: the passage occurs twice within one doc → both occurrences
+    # duplicated, plus every bridging window repeats nowhere else
+    assert out[3].n_windows == 21 and out[3].n_dup_windows >= 2
+    assert out[3].dup_ratio > out[1].dup_ratio
+    # doc 4: shorter than the window → its single whole-text window,
+    # unique in the corpus
+    assert (out[4].n_windows, out[4].n_dup_windows, out[4].dup_ratio) \
+        == (1, 0, 0.0)
