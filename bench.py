@@ -56,6 +56,8 @@ HEADLINE = [
     "kgc_entity_sim", "kgc_kcore", "kgc_entity_dates", "kgc_clustering",
     "gopher_quality", "kgc_type_conflicts", "kgc_negative_samples",
     "kgc_communities",
+    # late-round-4 additions
+    "url_canonical", "dedup_substring",
 ]
 
 
