@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--find-names", action="store_true")
     ap.add_argument("--lowercase", action="store_true")
     ap.add_argument("--deaccent", action="store_true")
+    ap.add_argument("--lang", default="en",
+                    help="language module for namelist build + scan rules")
+    ap.add_argument("--tagged-inflections", default=None, metavar="TSV",
+                    help="namegen tagged-inflections TSV (cs only, "
+                         "create_cedar.sh:369)")
     ap.add_argument("--materialize-mentions", action="store_true",
                     help="checkpoint mentions (compute-level resume)")
     args = ap.parse_args()
@@ -62,13 +67,19 @@ def main() -> None:
         from ner_spark.fixtures.gen import gen_kb_rows
         kb_rows = gen_kb_rows()
 
+    tagged = None
+    if args.tagged_inflections:
+        with open(args.tagged_inflections) as fh:
+            tagged = fh.read().splitlines()
+
     t0 = time.time()
     art = compile_kb(spark, kb_rows, lowercase=args.lowercase,
-                     deaccent=args.deaccent)
+                     deaccent=args.deaccent, lang=args.lang,
+                     tagged_inflections=tagged)
     pages = spark.read.parquet(args.pages)
     kw = dict(url_col=args.url_col, text_col=args.text_col,
               lowercase=args.lowercase, deaccent=args.deaccent,
-              find_names=args.find_names)
+              find_names=args.find_names, lang=args.lang)
     if args.materialize_mentions:
         from ner_spark.pipeline.run import extract_mentions_resumable
         mentions = extract_mentions_resumable(
