@@ -108,17 +108,27 @@ def resumable_write(df: DataFrame, path: str, key: str = "subj",
     try:
         lineage = _lineage_of(todo_df).collect()
         todo_buckets = sorted(r.bucket for r in lineage)
+        # co-locate each bucket before partitionBy: without this every
+        # write task opens a file per bucket directory (tasks × buckets
+        # files — 4M files at 1000 executors × 4096 buckets, and measured
+        # 1.4-1.9× slower even at local[8]/64); hash-repartitioned on the
+        # bucket column the output is ~one file per bucket
+        def _colocated(df_):
+            return df_.repartition(max(len(todo_buckets), 1), "bucket")
+
         if fail_after_buckets is not None and fail_after_buckets < len(todo_buckets):
             keep = set(todo_buckets[:fail_after_buckets])
             part = todo_df.filter(F.col("bucket").isin(list(keep)))
             with dynamic_partition_overwrite(spark):
-                part.write.mode("overwrite").partitionBy("bucket").parquet(path)
+                _colocated(part).write.mode("overwrite") \
+                    .partitionBy("bucket").parquet(path)
             _append_lineage(spark, path, [r for r in lineage if r.bucket in keep])
             raise RuntimeError(
                 f"injected failure after {fail_after_buckets} buckets")
         if todo_buckets:
             with dynamic_partition_overwrite(spark):
-                todo_df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+                _colocated(todo_df).write.mode("overwrite") \
+                    .partitionBy("bucket").parquet(path)
             _append_lineage(spark, path, lineage)
         manifest = {
             "n_buckets": n_buckets, "key": key,
