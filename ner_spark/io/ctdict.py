@@ -29,6 +29,8 @@ the broadcast pickle (kb/artifacts.py), which SURVEY §2 S7/S11 cover.
 
 from __future__ import annotations
 
+from collections import deque
+
 import numpy as np
 
 # cedar pads its array to 256-slot blocks (cedar.h block struct); keeping
@@ -53,7 +55,8 @@ def write_ct(items, path: str) -> int:
 
     ``items``: iterable of (key, ordered value list) — e.g.
     ``build_namelist(...).items()`` or ``GazetteerAutomaton.keys.items()``.
-    Static first-fit XOR packing (deterministic); returns the node count
+    Static XOR packing, sliding-window free-list (deterministic for a
+    given input — no randomness); returns the node count
     written.  Keys must not contain NUL or 0x01 bytes (0x01 is the
     multi-value escape, NUL the value label)."""
     entries = _expand_items(items)
@@ -72,33 +75,88 @@ def write_ct(items, path: str) -> int:
     used = bytearray(_BLOCK)   # slot occupancy, grown in block units
     base_arr = [0] * _BLOCK
     check_arr = [-1] * _BLOCK
-    used[0] = 1                # root lives at slot 0
+    # free-slot doubly-linked list over a sliding window of the newest
+    # blocks — the same builder device as write_dct below (and as
+    # darts-clone's own find_valid_offset/FixBlock; cedar's block
+    # free-lists serve the same end).  The base scan walks only FREE
+    # slots in the window (candidate base = free slot ^ first label —
+    # so that child always lands on a free slot); blocks that leave the
+    # window have their free slots unlinked for good and stay free-list
+    # entries (check -1) in the file.  Near-linear total work vs the
+    # naive global first-fit, which re-walks the dense low region for
+    # every node (O(n²) on million-key namelists).  The format does not
+    # constrain WHICH base a node uses — check fields validate
+    # traversal; figa-lookup parity is what tests/test_ctdict.py pins.
+    _WINDOW_BLOCKS = 16
+    nxt = [i + 1 for i in range(_BLOCK)]
+    prv = [i - 1 for i in range(_BLOCK)]
+    nxt[-1] = -1
+    free_head = 1
+    free_tail = _BLOCK - 1
+    oldest_block = 0
 
-    def grow(upto: int) -> None:
-        need = ((upto // _BLOCK) + 1) * _BLOCK
-        if need > len(used):
-            pad = need - len(used)
-            used.extend(b"\x00" * pad)
-            base_arr.extend([0] * pad)
-            check_arr.extend([-1] * pad)
+    def unlink(s: int) -> None:
+        nonlocal free_head, free_tail
+        p, q = prv[s], nxt[s]
+        if p == -1:
+            free_head = q
+        else:
+            nxt[p] = q
+        if q == -1:
+            free_tail = p
+        else:
+            prv[q] = p
+
+    def occupy(s: int) -> None:
+        used[s] = 1
+        unlink(s)
+
+    def grow_block() -> int:
+        nonlocal free_head, free_tail, oldest_block
+        n = len(used)
+        used.extend(b"\x00" * _BLOCK)
+        base_arr.extend([0] * _BLOCK)
+        check_arr.extend([-1] * _BLOCK)
+        nxt.extend(range(n + 1, n + _BLOCK + 1))
+        nxt[-1] = -1
+        prv.extend(range(n - 1, n + _BLOCK - 1))
+        if free_tail == -1:
+            free_head, prv[n] = n, -1
+        else:
+            nxt[free_tail], prv[n] = n, free_tail
+        free_tail = n + _BLOCK - 1
+        if (n >> 8) - oldest_block >= _WINDOW_BLOCKS:
+            lo = oldest_block << 8
+            for s in range(lo, lo + _BLOCK):
+                if not used[s]:
+                    unlink(s)
+            oldest_block += 1
+        return n
+
+    occupy(0)                  # root lives at slot 0
 
     # BFS so parent slots are fixed before children are placed
-    queue: list[tuple[int, dict]] = [(0, root)]
+    queue: deque[tuple[int, dict]] = deque([(0, root)])
     while queue:
-        slot, node = queue.pop(0)
+        slot, node = queue.popleft()
         labels = sorted(0 if l == -1 else l for l in node)
         if not labels:
             continue
-        b = 0
-        while True:
-            grow(b + _BLOCK - 1)
-            if all(not used[b ^ l] and (b ^ l) != 0 for l in labels):
+        l0 = labels[0]
+        b = -1
+        s = free_head
+        while s != -1:
+            cand = s ^ l0
+            if all(not used[cand ^ l] and (cand ^ l) != 0 for l in labels):
+                b = cand
                 break
-            b += 1
+            s = nxt[s]
+        if b < 0:              # window exhausted: take a virgin block
+            b = grow_block()
         base_arr[slot] = b
         for l in labels:
             child = b ^ l
-            used[child] = 1
+            occupy(child)
             check_arr[child] = slot
             sub = node[-1 if l == 0 else l]
             if l == 0:
@@ -191,6 +249,13 @@ def _encode_offset(unit: int, o: int) -> int:
     return unit | ((o >> 8) << 10) | _EXT_BIT
 
 
+def _offset_encodable(o: int) -> bool:
+    """Past ~2M units a darts offset only encodes when 256-aligned
+    (_EXT_BIT, darts.h:66-70) — the builder must pick bases accordingly,
+    exactly like darts-clone's own keyset build does."""
+    return o <= _MAX_DIRECT or (o % 256 == 0 and (o >> 8) <= _MAX_DIRECT)
+
+
 def write_dct(items, path: str) -> int:
     """Compile namelist items into a figa-loadable darts-clone ``.dct``.
     Same key/value conventions as write_ct; returns the unit count."""
@@ -210,51 +275,113 @@ def write_dct(items, path: str) -> int:
 
     used = bytearray(_BLOCK)
     units = [0] * _BLOCK
-    used[0] = 1
     # darts traversal has no check field: a transition is accepted purely
     # by (base ^ byte) landing on a unit with that label, so two nodes
     # sharing a base would alias each other's children (false positives
     # in the REFERENCE's own exactMatchSearch, and cycles in any decoder).
     # darts-clone's builder guarantees base uniqueness; so must we.
     used_base: set[int] = set()
+    # free-slot doubly-linked list over a SLIDING WINDOW of the newest
+    # blocks — darts-clone's own builder device (darts-clone
+    # double-array-builder: find_valid_offset searches the unfixed
+    # extras, FixBlock permanently retires blocks once more than
+    # NUM_EXTRA_BLOCKS trail the head).  The placement scan walks only
+    # free slots in the window (candidate base = free slot ^ first
+    # label); a block that leaves the window has its remaining free
+    # slots unlinked for good.  Near-linear total work AND compact
+    # output, vs the naive per-pos o-scan that re-walks the dense low
+    # region for every node (hours on a production-size namelist).  The
+    # format does not constrain WHICH base a node uses, only traversal
+    # validity; figa-lookup parity is what tests/test_ctdict.py pins.
+    _WINDOW_BLOCKS = 16
+    nxt = [i + 1 for i in range(_BLOCK)]
+    prv = [i - 1 for i in range(_BLOCK)]
+    nxt[-1] = -1
+    free_head = 1
+    free_tail = _BLOCK - 1
+    oldest_block = 0           # first block still inside the window
 
-    def grow(upto: int) -> None:
-        need = ((upto // _BLOCK) + 1) * _BLOCK
-        if need > len(used):
-            pad = need - len(used)
-            used.extend(b"\x00" * pad)
-            units.extend([0] * pad)
+    def unlink(slot: int) -> None:
+        nonlocal free_head, free_tail
+        p, q = prv[slot], nxt[slot]
+        if p == -1:
+            free_head = q
+        else:
+            nxt[p] = q
+        if q == -1:
+            free_tail = p
+        else:
+            prv[q] = p
+
+    def occupy(slot: int) -> None:
+        used[slot] = 1
+        unlink(slot)
+
+    def grow_block() -> int:
+        """Append one fresh block; fix the oldest if the window is full.
+        Returns the new block's first slot."""
+        nonlocal free_head, free_tail, oldest_block
+        n = len(used)
+        used.extend(b"\x00" * _BLOCK)
+        units.extend([0] * _BLOCK)
+        nxt.extend(range(n + 1, n + _BLOCK + 1))
+        nxt[-1] = -1
+        prv.extend(range(n - 1, n + _BLOCK - 1))
+        if free_tail == -1:
+            free_head, prv[n] = n, -1
+        else:
+            nxt[free_tail], prv[n] = n, free_tail
+        free_tail = n + _BLOCK - 1
+        if (n >> 8) - oldest_block >= _WINDOW_BLOCKS:
+            lo = oldest_block << 8
+            for s in range(lo, lo + _BLOCK):
+                if not used[s]:
+                    unlink(s)      # fixed: stays a 0-unit in the file
+            oldest_block += 1
+        return n
+
+    occupy(0)                  # root lives at slot 0
 
     # BFS: (position, trie node); each node's unit already carries its
     # label (and bit31-free) — we add offset/has_leaf when popped
-    queue: list[tuple[int, dict]] = [(0, root)]
+    queue: deque[tuple[int, dict]] = deque([(0, root)])
     while queue:
-        pos, node = queue.pop(0)
+        pos, node = queue.popleft()
         has_value = -1 in node
         labels = sorted(l for l in node if l != -1)
         slots = ([0] if has_value else []) + labels
         if not slots:
             continue
-        o = 1
-        while True:
-            grow(pos ^ o ^ 255)
-            if (pos ^ o) not in used_base and \
-                    all(not used[pos ^ o ^ l] and (pos ^ o ^ l) != 0
+        l0 = slots[0]
+        base = -1
+        s = free_head
+        while s != -1:
+            cand = s ^ l0      # child l0 lands on the free slot s itself
+            if cand != pos and cand not in used_base and \
+                    _offset_encodable(pos ^ cand) and \
+                    all(not used[cand ^ l] and (cand ^ l) != 0
                         for l in slots):
+                base = cand
                 break
-            o += 1
-        used_base.add(pos ^ o)
+            s = nxt[s]
+        if base < 0:           # window exhausted: take a virgin block
+            n0 = grow_block()
+            # low byte matched to pos → offset low byte 0, so it stays
+            # encodable however far the tail is (256-aligned _EXT_BIT form)
+            base = n0 | (pos & 0xFF)
+        o = pos ^ base
+        used_base.add(base)
         if pos == 0 and o >= 512:  # pragma: no cover - open() sanity bound
             raise ValueError("root offset >= 512; input too adversarial")
         units[pos] = _encode_offset(
             units[pos] | (_HAS_LEAF if has_value else 0), o)
         if has_value:
             leaf = pos ^ o
-            used[leaf] = 1
+            occupy(leaf)
             units[leaf] = _LEAF_BIT | int(node[-1])
         for l in labels:
             child = pos ^ o ^ l
-            used[child] = 1
+            occupy(child)
             units[child] = l
             queue.append((child, node[l]))
 

@@ -140,6 +140,15 @@ def read_kb_tsv_spark(spark, path: str):
 
     with open(path) as fh:
         version, head_kb, _ = read_kb_tsv_header_only(fh)
+        first_data = fh.readline()
+        if first_data[:1] == "Q":
+            # fail fast: the numeric-ID row filter below would silently
+            # drop EVERY row of a Wikidata-keyed KB → 0-row DataFrame →
+            # a mention-less pipeline with no error anywhere downstream
+            raise ValueError(
+                f"{path} is Wikidata-keyed (Q-prefixed IDs); its internal "
+                "ids are data-line numbers, which a distributed unordered "
+                "scan cannot assign — use the driver reader read_kb_tsv")
     colmap = next(iter(head_kb.values()))
     names = [n for n, _ in sorted(colmap.items(), key=lambda kv: kv[1])]
     schema = ", ".join(f"_c{i} string" for i in range(len(names)))

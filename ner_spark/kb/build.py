@@ -142,6 +142,35 @@ def _transform_namelist(namelist: dict[str, list[int]], transform,
     return out
 
 
+def _fold_surname_derivatives(bundle: KBBundle, tagged_expanded: dict) -> None:
+    """Fold namegen surname derivatives into the bundle's name dict —
+    the analogue of the reference's person-only surname→URI side channel
+    (KB2namelist.py:678, 785-792), whose dump feeds the name-recognizer
+    derivatives build.  Here the consumer is the ``-n`` name gazetteer
+    (resolve._gazetteer_name_spans joins on ``name_dict``), so inflected
+    Czech surnames count as known person subnames during unknown-name
+    discovery.  Keys normalized exactly like build_name_dict
+    (deaccent+lower); ids restricted to the base name's person lines."""
+    from ner_spark.semantics.textnorm import remove_accent
+
+    by_name: dict[str, list[int]] = {}
+    for i in range(1, bundle.n_rows() + 1):
+        if "person" in bundle.get_ent_type(i):
+            by_name.setdefault(bundle.get_data_for(i, "NAME"), []).append(i)
+    extra: dict[str, set[int]] = {}
+    for base, (_infl, _subs, sur) in tagged_expanded.items():
+        lines = by_name.get(base)
+        if not lines:
+            continue
+        for s in sur:
+            extra.setdefault(remove_accent(s).lower(), set()).update(lines)
+    if extra:
+        nd = dict(bundle.name_dict)
+        for k, v in extra.items():
+            nd[k] = frozenset(v | nd.get(k, frozenset()))
+        bundle.name_dict = nd
+
+
 def compile_kb(spark: SparkSession, rows: list[dict],
                stop_list: set[str] | None = None,
                filter_keys: bool = True,
@@ -181,6 +210,12 @@ def compile_kb(spark: SparkSession, rows: list[dict],
     from ner_spark.semantics.lang import get_lang
 
     lang_mod = get_lang(lang)
+    tagged_expanded = None
+    if tagged_inflections is not None:
+        from ner_spark.semantics.inflect import expand_tagged_inflections
+
+        tagged_expanded = expand_tagged_inflections(tagged_inflections)
+        _fold_surname_derivatives(bundle, tagged_expanded)
     if uri_mode:
         # URI automaton (-u, KB2namelist.py:907-922): URL keys only
         namelist = build_uri_namelist(bundle)
@@ -190,7 +225,7 @@ def compile_kb(spark: SparkSession, rows: list[dict],
                                   add_pronouns=add_pronouns,
                                   add_subname_fragments=add_subname_fragments,
                                   lang=lang_mod,
-                                  tagged_inflections=tagged_inflections)
+                                  tagged_expanded=tagged_expanded)
         if wiki_filter:
             # F13 (filter_namelist.sh): fragment ('N') rows keep only ids
             # whose KB line has a wikipedia URL

@@ -267,15 +267,24 @@ def process_name_inflections(line: str, strip_nameflags: bool = True
 
 
 def expand_tagged_inflections(lines: Iterable[str]
-                              ) -> dict[str, tuple[set[str], set[str]]]:
-    """All lines → {base name: (inflected surfaces, subnames)} — the shape
-    ``build_namelist(tagged_inflections=...)`` consumes (cs mode)."""
-    out: dict[str, tuple[set[str], set[str]]] = {}
+                              ) -> dict[str, tuple[set[str], set[str],
+                                                   set[str]]]:
+    """All lines → {base name: (inflected surfaces, subnames, surname
+    derivatives)}.  The first two are what ``build_namelist`` consumes
+    (cs mode); the surnames are the reference's person-only surname
+    side channel (KB2namelist.py:678, 785-792 accumulate surname→URIs
+    and dump them for the name-recognizer derivatives build) — our
+    consumer is the ``-n`` name gazetteer: ``compile_kb`` folds them
+    into ``bundle.name_dict`` so inflected Czech surnames count as
+    known person subnames during unknown-name discovery."""
+    out: dict[str, tuple[set[str], set[str], set[str]]] = {}
     for line in lines:
         if not line.strip():
             continue
-        name, _l, _f, infl, _u, subs, _sur = process_name_inflections(line)
-        cur = out.setdefault(name, (set(), set()))
+        name, _l, flags, infl, _u, subs, sur = process_name_inflections(line)
+        cur = out.setdefault(name, (set(), set(), set()))
         cur[0].update(infl)
         cur[1].update(subs)
+        if flags[:1] == "P":  # person lines only (KB2namelist.py:788)
+            cur[2].update(sur)
     return out

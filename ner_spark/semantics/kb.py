@@ -656,6 +656,7 @@ def build_namelist(
     add_subname_fragments: bool = True,
     lang: "object" = None,
     tagged_inflections: "Iterable[str] | None" = None,
+    tagged_expanded: "dict | None" = None,
 ) -> dict[str, list[int]]:
     """Key → ordered KB ids (+ trailing 0 for the 'N' fragment marker).
 
@@ -747,14 +748,19 @@ def build_namelist(
                 for v in variants:
                     add(v, i, t)
 
-    if tagged_inflections is not None:
-        from .inflect import expand_tagged_inflections
+    if tagged_inflections is not None or tagged_expanded is not None:
+        if tagged_expanded is None:  # compile_kb pre-expands (it also
+            from .inflect import expand_tagged_inflections  # consumes the
+            tagged_expanded = expand_tagged_inflections(  # surname channel)
+                tagged_inflections)
 
         by_name: dict[str, list[int]] = {}
         for i in range(1, kb.n_rows() + 1):
             by_name.setdefault(kb.get_data_for(i, "NAME"), []).append(i)
-        for base, (infl, subs) in \
-                expand_tagged_inflections(tagged_inflections).items():
+        # surnames are NOT namelist content — the reference routes them to
+        # a separate derivatives dump (KB2namelist.py:678); compile_kb
+        # folds them into the name gazetteer's name_dict instead
+        for base, (infl, subs, _sur) in tagged_expanded.items():
             for i in by_name.get(base, []):
                 t = kb.get_ent_type(i)
                 for surface in infl:

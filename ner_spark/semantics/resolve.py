@@ -528,7 +528,6 @@ def _find_all(text: str, needle: str) -> tuple[int, ...]:
     return tuple(out)
 
 
-@lru_cache(maxsize=32)
 def _doc_sentence_index(text: str, verbs: tuple):
     """Per-document occurrence index for the verb+JOBS rule
     (entity.py:151-185).
@@ -541,9 +540,11 @@ def _doc_sentence_index(text: str, verbs: tuple):
     of every dot, paren, and verb occurrence turns the per-mention work
     into a handful of bisects with byte-identical outcomes (the scalar
     path is kept for sentences containing parens, where the reference
-    REMOVES paren spans before searching — _right_sentence).  Keyed on
-    the text object itself: str hashes are computed once and cached by
-    CPython, and the same document string is probed once per mention."""
+    REMOVES paren spans before searching — _right_sentence).  NOT
+    memoized: resolve_document builds the index once per document and
+    threads it as ``sidx`` to every mention, and an lru_cache here would
+    pin full multi-MB document strings (plus O(doc) position tuples)
+    inside each long-lived Python worker for no hot-path gain."""
     return (
         _find_all(text, "."),
         _find_all(text, "("),

@@ -44,6 +44,22 @@ _HTML_CLOSE = "</body>\n</html>"
 _NCR = re.compile(r"&#x(.*?);")
 
 
+def _finditer_quirk(fragment: str, text: str, flags: int = 0):
+    """The reference interpolates the name into the regex UNESCAPED
+    (highlight_names.py:185, :203) — kept, because valid-regex surfaces
+    ("A.B.") must over-match exactly like the reference.  But surfaces
+    with unbalanced metachars ("*NSYNC", "Apple (Inc") make re.compile
+    raise, and in the distributed renderer that would kill the whole
+    Spark task; the reference never guards this because its CLI crashes
+    with it.  Fall back to the escaped literal only where the reference
+    itself would die — byte-identical everywhere the reference runs."""
+    try:
+        return list(re.finditer("({})".format(fragment), text, flags))
+    except re.error:
+        return list(re.finditer("({})".format(re.escape(fragment)), text,
+                                flags))
+
+
 def decode_ncr(s: str) -> str:
     """``&#x..;`` hex NCRs → characters (data_row.py:96-119 decode)."""
     for m in sorted(set(_NCR.findall(s))):
@@ -86,7 +102,7 @@ def render_html_highlights(text: str,
     part_set: set[str] = set()
     for value in order:
         dtype, count = by_value[value]
-        matches = list(re.finditer("({})".format(value.strip()), text, re.M))
+        matches = _finditer_quirk(value.strip(), text, re.M)
         if len(matches) > count:
             dtype = -1
         for m in matches:
@@ -98,7 +114,7 @@ def render_html_highlights(text: str,
     p_start: set[int] = set()
     p_end: set[int] = set()
     for part in part_set:
-        for m in re.finditer("({})".format(part), text):
+        for m in _finditer_quirk(part, text):
             p_start.add(m.start())
             p_end.add(m.end())
 

@@ -67,6 +67,18 @@ def test_kb_tsv_wikidata_qids_roundtrip(kb_rows):
     assert rows[0]["name"] == str(kb_rows[0]["name"])
 
 
+def test_kb_tsv_spark_rejects_qkeyed(spark, kb_rows, tmp_path):
+    """The distributed reader must FAIL FAST on a Q-keyed KB.tsv: its
+    numeric-ID row filter would otherwise silently drop every data row
+    (0-row KB → mention-less pipeline with no error anywhere)."""
+    qrows = [dict(r, qid=f"Q{100 + r['id']}") for r in kb_rows]
+    p = str(tmp_path / "KBQ.tsv")
+    with open(p, "w") as fh:
+        write_kb_tsv(qrows, fh)
+    with pytest.raises(ValueError, match="Wikidata-keyed"):
+        read_kb_tsv_spark(spark, p)
+
+
 def test_compile_kb_qid_mode(spark, kb_rows):
     """-Q (KB2namelist.py:1027-1030): automaton values are the stripped
     Q-id numbers; rows without a qid keep the line number; the fragment

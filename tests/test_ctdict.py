@@ -145,6 +145,28 @@ def test_figa_reads_full_fixture_dict(write, ext, figa_bin, kb_rows,
     assert name in out, out
 
 
+@pytest.mark.parametrize("write,read,ext", [
+    (write_ct, read_ct, "ct"), (write_dct, read_dct, "dct")])
+def test_writer_scales_compact(write, read, ext, tmp_path):
+    """The sliding-window builders must stay near-linear AND dense — a
+    regression to the naive per-node scan is minutes here, a regression
+    to cap-and-spill packing is a >10× sparse file.  5k random keys:
+    bounded units per trie byte, exact round-trip."""
+    import random
+    random.seed(3)
+    words = {}
+    for i in range(5000):
+        k = "k%d" % i + "".join(random.choice("abcdefghij")
+                                for _ in range(random.randrange(4, 14)))
+        words[k] = [i + 1, i + 7]
+    items = sorted(words.items())
+    total_bytes = sum(len(k.encode()) + 4 for k in words)  # keys + \x01 runs
+    p = str(tmp_path / f"big.{ext}")
+    n = write(items, p)
+    assert read(p) == words
+    assert n <= 4 * total_bytes, f"sparse output: {n} units"
+
+
 def test_migrate_automaton_roundtrip(tmp_path):
     """tools/migrate_automaton: namelist TSV → .dct → .atm → .ct → TSV
     preserves the namelist exactly."""

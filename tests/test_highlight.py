@@ -67,6 +67,19 @@ def test_parse_figa_row_and_ncr():
     assert decode_ncr("&#xc599;a") == "řa"
 
 
+def test_regex_metachar_fragments_survive():
+    """Gazetteer surfaces with unbalanced regex metachars ("*NSYNC",
+    "Apple (Inc") must not raise re.error — in highlight_pages that
+    would kill the whole Spark task.  Valid-regex surfaces keep the
+    reference's unescaped over-match quirk; only the would-crash case
+    degrades to the escaped literal."""
+    text = "I love *NSYNC and Apple (Inc"
+    html = render_html_highlights(text, [
+        (1, 8, 13, "*NSYNC"), (1, 19, 28, "Apple (Inc")])
+    assert '<span style="color: red;" >*NSYNC</span>' in html
+    assert "Apple (Inc" in html
+
+
 def test_highlight_pages_distributed(spark, artifacts, pages_rows):
     from ner_spark.textops.highlight import highlight_pages
 

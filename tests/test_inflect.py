@@ -170,10 +170,13 @@ def test_expand_tagged_inflections_shape():
         "",
     ]
     out = expand_tagged_inflections(lines)
-    infl, subs = out["Antonín Dvořák"]
+    infl, subs, surnames = out["Antonín Dvořák"]
     assert {"Antonínu Dvořáku", "Antonínovi Dvořákovi",
             "Antonínu Dvořákovi", "Antonínovi Dvořáku"} <= infl
     assert {"Antonínu", "Antonínovi", "Dvořáku", "Dvořákovi"} <= subs
+    # P-flagged line → surname derivatives surface (the reference's
+    # surname→URI side channel, KB2namelist.py:785-792)
+    assert {"Dvořáku", "Dvořákovi"} <= surnames
 
 
 def test_cs_inflections_reach_automaton(spark):
@@ -202,6 +205,11 @@ def test_cs_inflections_reach_automaton(spark):
     out = recognize(art.bundle, art.automaton, text, lang=get_lang("cs"))
     assert [(r["text"], r["sense"]) for r in out
             if r["kind"] == "kb"] == [("Antonínovi Dvořákovi", 1)]
+    # surname derivatives reach the -n name gazetteer's keyspace
+    # (deaccent+lower, person lines of the base name) — the analogue of
+    # the reference's surnames_with_typeflags derivatives dump
+    assert art.bundle.name_dict.get("dvoraku") == frozenset({1})
+    assert art.bundle.name_dict.get("dvorakovi") == frozenset({1})
     # the en build must refuse namegen input
     import pytest as _pytest
     with _pytest.raises(ValueError):

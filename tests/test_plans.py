@@ -131,15 +131,24 @@ def test_pack_and_quota_single_shuffle(spark, sf_dir):
 def test_triangle_count_all_equi_joins(spark):
     """The compact-forward triangle plan must be pure equi-joins — a
     CartesianProduct / BroadcastNestedLoopJoin here is the difference
-    between O(m^1.5) and never-finishes at web scale."""
-    from ner_spark.pipeline.graph import triangle_count
+    between O(m^1.5) and never-finishes at web scale.  Asserted on the
+    PRE-localCheckpoint plan (the public triangle_count returns a
+    checkpointed Scan ExistingRDD whose plan no longer shows the joins
+    — asserting there would be vacuous)."""
+    from ner_spark.pipeline.graph import (_canonical_edges,
+                                          _triangles_canonical)
 
     df = spark.createDataFrame(
         [(f"e:{a}", f"e:{b}") for a in range(1, 5) for b in range(a + 1, 5)],
         "subj string, obj string")
-    plan = _plan(triangle_count(df))
+    e = _canonical_edges(df, "subj", "obj").persist()
+    res, oriented = _triangles_canonical(e)
+    plan = _plan(res)
+    assert "Join" in plan          # guard against the assertion going vacuous
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    oriented.unpersist()
+    e.unpersist()
 
 
 def test_corrupt_triples_no_single_task_stage(spark):
