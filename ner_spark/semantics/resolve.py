@@ -900,11 +900,14 @@ def fix_poor_disambiguation(entities: list[Mention], kb: KBBundle,
 def resolve_coreferences(entities: list[Mention], kb: KBBundle, ctx: Context,
                          register: Register, text: str,
                          lang: LangModule = EN,
-                         print_all: bool = False) -> None:
+                         print_all: bool = False, sidx=None) -> None:
     """ner.py:333-375.  ``print_all`` (-a) skips the whole resolution body
     — partial-match senses stay unfiltered and corefs stay unresolved
     (ner.py:350 ``if not print_all``); the people_in_text fill and the
-    ``ctx.update`` register pass still run in every mode."""
+    ``ctx.update`` register pass still run in every mode.  ``sidx``:
+    the document's pre-built sentence index, threaded through to the
+    demoted-coref re-disambiguation calls (without it each such call
+    would rebuild the O(doc) index from scratch)."""
     psub = kb.person_sub_flag_arr()
     sarr = kb.score_arr()
     people_in_text = ctx.people_in_text
@@ -932,13 +935,15 @@ def resolve_coreferences(entities: list[Mention], kb: KBBundle, ctx: Context,
                 elif e.senses:
                     e.is_coreference = False
                     e.partial_match_senses = frozenset()
-                    disambiguate_without_context(e, kb, text, register, lang)
+                    disambiguate_without_context(e, kb, text, register, lang,
+                                                 sidx)
                     disambiguate_with_context(e, kb, ctx, register)
             elif e.source_lower in lang.pronouns:
                 resolve_pronoun_coreference(e, kb, ctx, register, text, lang)
             elif e.senses:
                 e.is_coreference = False
-                disambiguate_without_context(e, kb, text, register, lang)
+                disambiguate_without_context(e, kb, text, register, lang,
+                                             sidx)
                 disambiguate_with_context(e, kb, ctx, register)
         if e.preferred_sense:
             ctx.update(e)
@@ -1443,9 +1448,9 @@ def resolve_document(
                    and not e.source_lower.startswith("the ")]
     print_all = mode == "all"
     resolve_coreferences(name_corefs, kb, ctx, register, text, lang,
-                         print_all=print_all)
+                         print_all=print_all, sidx=sidx)
     resolve_coreferences(entities, kb, ctx, register, text, lang,
-                         print_all=print_all)
+                         print_all=print_all, sidx=sidx)
 
     entities = resolve_overlapping_proper_nouns(entities, text, list_titles,
                                                 lang)
