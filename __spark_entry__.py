@@ -837,6 +837,18 @@ def q_pii_scrub(spark, sf_dir):
         .select("doc_id", "n_email", "n_ipv4", "n_phone", "has_pii")
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """In-corpus unigram-LM cross-entropy per document (textops.lm) —
+    the CCNet/DataComp-LM quality device with the corpus itself as
+    training data (no external KenLM in this environment).  Exact
+    DuckDB oracle: per-TYPE NLLs are quantized to integer micro-nats
+    before aggregation, so the per-doc sums are exact long arithmetic
+    and ln() is evaluated once per vocabulary type on identical double
+    inputs in both engines."""
+    from ner_spark.textops.lm import unigram_lm_scores
+    return unigram_lm_scores(_t(spark, sf_dir, "documents"), top_k=512)
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test assignment by md5-range on
     doc_id — operators.stable_split.  Key-hash splits (vs rand()) stay
@@ -932,7 +944,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``session_windows`` and ``dedup_ngram_jaccard`` park too (devices
     covered in-window by ``event_sessions`` and ``dedup_jaccard`` /
     ``decontaminate``) to make room for ``dedup_simhash``'s and
-    ``dedup_minhash``'s new exact FNV-replay oracles.  Still parked from
+    ``dedup_minhash``'s new exact FNV-replay oracles; later still,
+    ``customers_without_orders`` (thrice-green; the absence-join device
+    stays in-window via ``decontaminate``'s broadcast anti-join and
+    ``click_only_users``'s EXCEPT) parks to admit the brand-new
+    ``lm_perplexity`` (new operators get the hard signal first).  Still
+    parked from
     r2/r3: ``embed_lsh_full`` / ``embed_ivf_full`` (oracle SQL literally
     ``embed_knn``'s — degenerate configs ≡ brute force, pytest-pinned)
     and ``salted_count`` / ``revenue_rollup`` / ``tpch_q5_like`` /
@@ -943,7 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1": q_tpch_q1,
         "corpus_split": q_corpus_split,
-        "customers_without_orders": q_customers_without_orders,
+        "lm_perplexity": q_lm_perplexity,
         "salted_join": q_salted_join,
         "asof_join_events": q_asof_join_events,
         # -- upgraded rows-only → exact oracle (r4 late): FNV-1a/SimHash
@@ -1008,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this round (rotation policy in the docstring above; every row
         # below is driver-green in ≥2 prior rounds, 9 of them in all
         # three) ----
+        "customers_without_orders": q_customers_without_orders,
         "embed_lsh_full": q_embed_lsh_full,
         "embed_ivf_full": q_embed_ivf_full,
         "salted_count": q_salted_count,
@@ -2247,6 +2265,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub": _PII_SCRUB_SQL,
         "corpus_split": _CORPUS_SPLIT_SQL,
+        # lm_perplexity: same tokenization device as text_token_stats;
+        # ln() per vocabulary TYPE quantized to integer micro-nats, so
+        # the per-doc aggregation is exact long arithmetic in both
+        # engines (no float-summation-order divergence possible)
+        "lm_perplexity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS tok
+              FROM documents),
+            counts AS (SELECT tok, count(*)::BIGINT AS c
+                       FROM toks GROUP BY tok),
+            kept AS (SELECT tok, c FROM counts
+                     ORDER BY c DESC, tok LIMIT 512),
+            consts AS (SELECT (SELECT sum(c) FROM counts) AS n,
+                              (SELECT sum(c) FROM kept) AS kn,
+                              (SELECT count(*) FROM kept) AS kv),
+            lm AS (SELECT tok,
+                          CAST(round(-ln((c + 1)::DOUBLE
+                                         / (n + kv + 1)::DOUBLE) * 1e6)
+                               AS BIGINT) AS nll_u
+                   FROM kept, consts),
+            scored AS (
+              SELECT t.doc_id,
+                     coalesce(l.nll_u,
+                              CAST(round(-ln((n - kn + 1)::DOUBLE
+                                             / (n + kv + 1)::DOUBLE) * 1e6)
+                                   AS BIGINT)) AS nll_u
+              FROM toks t LEFT JOIN lm l USING (tok), consts)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(sum(nll_u)::DOUBLE / 1e6 / count(*), 4)
+                       AS cross_entropy
+            FROM scored GROUP BY doc_id
+        """,
         # q_boilerplate_scrub: identical list algebra — 2-token chunks,
         # per-doc distinct before the doc-count, threshold ceil(0.05·N)
         # computed in-query (both engines do the same IEEE double math),

@@ -1,0 +1,79 @@
+"""In-corpus unigram-LM cross-entropy scoring — the CCNet / DataComp-LM
+quality device (score each document by how surprising its tokens are
+under a language model) without CCNet's external wiki-trained KenLM:
+the LM is trained on the corpus itself, so self-perplexity flags the
+statistical outliers (gibberish, boilerplate walls, non-prose token
+salad) the same way CCNet's perplexity buckets do, and the Spark
+plumbing — train counts, broadcast the model, score per token — is the
+identical shape a KenLM-backed scorer would use.
+
+Exactness (the DuckDB oracle hash-matches): the one transcendental
+(``ln``) is evaluated once per vocabulary TYPE on identical double
+inputs in both engines and immediately quantized to integer micro-nats,
+so every per-document aggregate is an exact long sum — order-
+independent, hence immune to the float-summation-order divergence that
+makes naive ``avg(double)`` oracles flaky.
+
+Scale shape: the vocabulary is capped at the ``top_k`` most frequent
+types (lexicographic tie-break) with a single ``<unk>`` type absorbing
+the tail — classic LM practice, and what keeps the broadcast model
+bounded at web scale (the open vocabulary of 100 TB of text is not
+broadcastable; top-k is chosen via TakeOrdered, never a global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _unats(num: Column, den: Column) -> Column:
+    """Add-one-smoothed NLL in integer micro-nats: round(-ln(num/den)*1e6).
+    num < den always (count+1 ≤ total < denominator), so the value is
+    positive and Spark/DuckDB half-up rounding agree."""
+    return F.round(-F.log(num.cast("double") / den.cast("double"))
+                   * 1e6).cast("long")
+
+
+def unigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      top_k: int = 4096) -> DataFrame:
+    """(doc_id, n_tokens, cross_entropy): mean add-one-smoothed unigram
+    NLL per token (nats, 4 decimals), vocabulary = ``top_k`` most
+    frequent lowercased whitespace tokens + ``<unk>`` for the tail.
+    Zero-token documents are absent (no tokens to score).
+
+    Plan: explode (narrow) → vocab count agg (shuffle 1, map-side
+    combined) → TakeOrdered top-k → vocabulary-sized broadcast LM join +
+    one-row broadcast constants → per-doc agg (shuffle 2).  The corpus
+    text itself is never shuffled, and is scanned exactly twice (train,
+    score): the vocabulary count table is ``persist()``-ed because three
+    plan branches read it (top-k, total-mass, kept-mass) — without the
+    cache each branch re-runs the corpus scan + count shuffle.  The
+    cache is vocabulary-sized; callers invoking this repeatedly on a
+    long-lived session should ``spark.catalog.clearCache()`` between
+    runs (same hygiene note as pipeline/graph.py)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), " "),
+                           lambda x: x != "")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    kept = counts.orderBy(F.col("c").desc(), "tok").limit(top_k)
+    # total tokens from the vocab agg (no second corpus pass); kn/kv =
+    # kept mass / kept types; smoothing denominator n + kv + 1 (<unk>)
+    consts = (counts.agg(F.sum("c").alias("n"))
+              .crossJoin(kept.agg(F.sum("c").alias("kn"),
+                                  F.count(F.lit(1)).alias("kv"))))
+    lm = (kept.crossJoin(F.broadcast(consts))
+          .select("tok",
+                  _unats(F.col("c") + 1,
+                         F.col("n") + F.col("kv") + 1).alias("nll_u")))
+    unk = _unats(F.col("n") - F.col("kn") + 1,
+                 F.col("n") + F.col("kv") + 1)
+    return (toks.join(F.broadcast(lm), "tok", "left")
+            .crossJoin(F.broadcast(consts))
+            .select(id_col, F.coalesce(F.col("nll_u"), unk).alias("nll_u"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.sum("nll_u").cast("double") / 1e6
+                         / F.count(F.lit(1)), 4).alias("cross_entropy")))

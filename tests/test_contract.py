@@ -78,7 +78,11 @@ _REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {
     # driver-checked): quality-gate family in-window via gopher_quality
     # + text_repetition; extraction+count via kgc_entity_degree /
     # kgc_comention_pairs / kgc_triples
-    "quality_filter", "kgc_mention_counts"}
+    "quality_filter", "kgc_mention_counts",
+    # parked late-r4 for lm_perplexity (new, never driver-checked):
+    # thrice-green; the absence-join device stays in-window via
+    # decontaminate's broadcast anti-join and click_only_users's EXCEPT
+    "customers_without_orders"}
 
 
 def test_every_oracle_has_a_query_and_matching_order():

@@ -270,6 +270,54 @@ def test_gopher_rules_crlf_lines(spark):
     assert r.ellipsis_line_frac == 2 / 3
 
 
+def test_unigram_lm_scores_exact(spark):
+    """textops.lm vs an independent pure-Python recomputation: same
+    top-k vocabulary (count desc, token asc), add-one smoothing, <unk>
+    tail, integer micro-nat quantization.  Exercises the unk path
+    (top_k < vocab) and the zero-token-document absence."""
+    import math
+    from collections import Counter
+
+    from ner_spark.textops.lm import unigram_lm_scores
+
+    texts = {1: "the cat sat on the mat", 2: "the the the the",
+             3: "zyzzyva qwyjibo", 4: ""}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.cross_entropy)
+           for r in unigram_lm_scores(docs, top_k=3).collect()}
+
+    toks = {d: t.lower().split() for d, t in texts.items() if t}
+    allc = Counter(t for ts in toks.values() for t in ts)
+    kept = sorted(allc.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    n, kn, kv = sum(allc.values()), sum(c for _, c in kept), len(kept)
+    lm = {t: round(-math.log((c + 1) / (n + kv + 1)) * 1e6)
+          for t, c in kept}
+    unk = round(-math.log((n - kn + 1) / (n + kv + 1)) * 1e6)
+    want = {d: (len(ts), round(sum(lm.get(t, unk) for t in ts) / 1e6
+                               / len(ts), 4))
+            for d, ts in toks.items()}
+    assert got == want          # doc 4 (zero tokens) absent from both
+
+
+def test_unigram_lm_plan_shape(spark, docs_df):
+    """Scale assertions: the LM joins back as a broadcast hash join, no
+    cartesian product, and the top-k vocabulary comes from TakeOrdered
+    (distributed partial top-k), never a single-task global sort."""
+    from ner_spark.textops.lm import unigram_lm_scores
+
+    df = unigram_lm_scores(docs_df, top_k=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # the only SinglePartition exchanges are the two one-row scalar
+    # aggregates (n / kn+kv) — partition-count-sized inputs, not
+    # data-sized sorts (the corrupt_triples lesson does not apply)
+    assert plan.count("Exchange SinglePartition") <= 2
+    spark.catalog.clearCache()
+
+
 def test_duplicated_window_stats(spark):
     """ExactSubstr detection: only the shared 20-token passage's windows
     count as duplicated; a within-doc repeat counts twice; short unique
