@@ -39,6 +39,71 @@ import numpy as np
 _BLOCK = 256
 
 
+class _SlotWindow:
+    """Free-slot doubly-linked list over a sliding window of the newest
+    256-slot blocks — darts-clone's own builder device (double-array
+    builder: find_valid_offset searches the unfixed extras, FixBlock
+    permanently retires blocks once more than NUM_EXTRA_BLOCKS trail
+    the head; cedar's block free-lists serve the same end).  Shared by
+    write_ct and write_dct: the placement scan walks only FREE slots in
+    the window (candidate base = free slot ^ first label, so that child
+    always lands on a free slot); a block that leaves the window has
+    its remaining free slots unlinked for good and stays empty in the
+    emitted file.  Near-linear total work AND compact output, vs a
+    naive per-node scan that re-walks the dense low region for every
+    node (hours on a production-size namelist).  Neither file format
+    constrains WHICH base a node uses — figa-lookup parity is what
+    tests/test_ctdict.py pins."""
+
+    def __init__(self, window_blocks: int = 16):
+        self.used = bytearray(_BLOCK)
+        self.nxt = list(range(1, _BLOCK + 1))
+        self.nxt[-1] = -1
+        self.prv = list(range(-1, _BLOCK - 1))
+        self.head = 1
+        self.tail = _BLOCK - 1
+        self.window_blocks = window_blocks
+        self.oldest_block = 0
+        self.occupy(0)         # root lives at slot 0
+
+    def unlink(self, s: int) -> None:
+        p, q = self.prv[s], self.nxt[s]
+        if p == -1:
+            self.head = q
+        else:
+            self.nxt[p] = q
+        if q == -1:
+            self.tail = p
+        else:
+            self.prv[q] = p
+
+    def occupy(self, s: int) -> None:
+        self.used[s] = 1
+        self.unlink(s)
+
+    def grow_block(self) -> int:
+        """Append one fresh block (caller extends its own payload arrays
+        by _BLOCK); fix the oldest block if the window is full.  Returns
+        the new block's first slot."""
+        n = len(self.used)
+        self.used.extend(b"\x00" * _BLOCK)
+        self.nxt.extend(range(n + 1, n + _BLOCK + 1))
+        self.nxt[-1] = -1
+        self.prv.extend(range(n - 1, n + _BLOCK - 1))
+        if self.tail == -1:
+            self.head, self.prv[n] = n, -1
+        else:
+            self.nxt[self.tail], self.prv[n] = n, self.tail
+        self.tail = n + _BLOCK - 1
+        if (n >> 8) - self.oldest_block >= self.window_blocks:
+            lo = self.oldest_block << 8
+            for s in range(lo, lo + _BLOCK):
+                if not self.used[s]:
+                    self.unlink(s)
+            self.oldest_block += 1
+        return n
+
+
 def _expand_items(items) -> list[tuple[bytes, int]]:
     """Namelist (key → ordered values) → cedar key set per LoadItems:
     first value on the key itself, value k+1 on key + 0x01*(k+2)."""
@@ -72,68 +137,13 @@ def write_ct(items, path: str) -> int:
             node = node.setdefault(b, {})
         node[-1] = v
 
-    used = bytearray(_BLOCK)   # slot occupancy, grown in block units
+    # base scan via the shared _SlotWindow (free slots of a cedar dump
+    # stay free-list entries — check -1 — in the file); the cedar check
+    # field validates traversal, so any base placement is format-valid
+    pool = _SlotWindow()
+    used = pool.used
     base_arr = [0] * _BLOCK
     check_arr = [-1] * _BLOCK
-    # free-slot doubly-linked list over a sliding window of the newest
-    # blocks — the same builder device as write_dct below (and as
-    # darts-clone's own find_valid_offset/FixBlock; cedar's block
-    # free-lists serve the same end).  The base scan walks only FREE
-    # slots in the window (candidate base = free slot ^ first label —
-    # so that child always lands on a free slot); blocks that leave the
-    # window have their free slots unlinked for good and stay free-list
-    # entries (check -1) in the file.  Near-linear total work vs the
-    # naive global first-fit, which re-walks the dense low region for
-    # every node (O(n²) on million-key namelists).  The format does not
-    # constrain WHICH base a node uses — check fields validate
-    # traversal; figa-lookup parity is what tests/test_ctdict.py pins.
-    _WINDOW_BLOCKS = 16
-    nxt = [i + 1 for i in range(_BLOCK)]
-    prv = [i - 1 for i in range(_BLOCK)]
-    nxt[-1] = -1
-    free_head = 1
-    free_tail = _BLOCK - 1
-    oldest_block = 0
-
-    def unlink(s: int) -> None:
-        nonlocal free_head, free_tail
-        p, q = prv[s], nxt[s]
-        if p == -1:
-            free_head = q
-        else:
-            nxt[p] = q
-        if q == -1:
-            free_tail = p
-        else:
-            prv[q] = p
-
-    def occupy(s: int) -> None:
-        used[s] = 1
-        unlink(s)
-
-    def grow_block() -> int:
-        nonlocal free_head, free_tail, oldest_block
-        n = len(used)
-        used.extend(b"\x00" * _BLOCK)
-        base_arr.extend([0] * _BLOCK)
-        check_arr.extend([-1] * _BLOCK)
-        nxt.extend(range(n + 1, n + _BLOCK + 1))
-        nxt[-1] = -1
-        prv.extend(range(n - 1, n + _BLOCK - 1))
-        if free_tail == -1:
-            free_head, prv[n] = n, -1
-        else:
-            nxt[free_tail], prv[n] = n, free_tail
-        free_tail = n + _BLOCK - 1
-        if (n >> 8) - oldest_block >= _WINDOW_BLOCKS:
-            lo = oldest_block << 8
-            for s in range(lo, lo + _BLOCK):
-                if not used[s]:
-                    unlink(s)
-            oldest_block += 1
-        return n
-
-    occupy(0)                  # root lives at slot 0
 
     # BFS so parent slots are fixed before children are placed
     queue: deque[tuple[int, dict]] = deque([(0, root)])
@@ -144,19 +154,21 @@ def write_ct(items, path: str) -> int:
             continue
         l0 = labels[0]
         b = -1
-        s = free_head
+        s = pool.head
         while s != -1:
             cand = s ^ l0
             if all(not used[cand ^ l] and (cand ^ l) != 0 for l in labels):
                 b = cand
                 break
-            s = nxt[s]
+            s = pool.nxt[s]
         if b < 0:              # window exhausted: take a virgin block
-            b = grow_block()
+            b = pool.grow_block()
+            base_arr.extend([0] * _BLOCK)
+            check_arr.extend([-1] * _BLOCK)
         base_arr[slot] = b
         for l in labels:
             child = b ^ l
-            occupy(child)
+            pool.occupy(child)
             check_arr[child] = slot
             sub = node[-1 if l == 0 else l]
             if l == 0:
@@ -273,74 +285,17 @@ def write_dct(items, path: str) -> int:
             node = node.setdefault(b, {})
         node[-1] = v
 
-    used = bytearray(_BLOCK)
-    units = [0] * _BLOCK
     # darts traversal has no check field: a transition is accepted purely
     # by (base ^ byte) landing on a unit with that label, so two nodes
     # sharing a base would alias each other's children (false positives
     # in the REFERENCE's own exactMatchSearch, and cycles in any decoder).
     # darts-clone's builder guarantees base uniqueness; so must we.
     used_base: set[int] = set()
-    # free-slot doubly-linked list over a SLIDING WINDOW of the newest
-    # blocks — darts-clone's own builder device (darts-clone
-    # double-array-builder: find_valid_offset searches the unfixed
-    # extras, FixBlock permanently retires blocks once more than
-    # NUM_EXTRA_BLOCKS trail the head).  The placement scan walks only
-    # free slots in the window (candidate base = free slot ^ first
-    # label); a block that leaves the window has its remaining free
-    # slots unlinked for good.  Near-linear total work AND compact
-    # output, vs the naive per-pos o-scan that re-walks the dense low
-    # region for every node (hours on a production-size namelist).  The
-    # format does not constrain WHICH base a node uses, only traversal
-    # validity; figa-lookup parity is what tests/test_ctdict.py pins.
-    _WINDOW_BLOCKS = 16
-    nxt = [i + 1 for i in range(_BLOCK)]
-    prv = [i - 1 for i in range(_BLOCK)]
-    nxt[-1] = -1
-    free_head = 1
-    free_tail = _BLOCK - 1
-    oldest_block = 0           # first block still inside the window
-
-    def unlink(slot: int) -> None:
-        nonlocal free_head, free_tail
-        p, q = prv[slot], nxt[slot]
-        if p == -1:
-            free_head = q
-        else:
-            nxt[p] = q
-        if q == -1:
-            free_tail = p
-        else:
-            prv[q] = p
-
-    def occupy(slot: int) -> None:
-        used[slot] = 1
-        unlink(slot)
-
-    def grow_block() -> int:
-        """Append one fresh block; fix the oldest if the window is full.
-        Returns the new block's first slot."""
-        nonlocal free_head, free_tail, oldest_block
-        n = len(used)
-        used.extend(b"\x00" * _BLOCK)
-        units.extend([0] * _BLOCK)
-        nxt.extend(range(n + 1, n + _BLOCK + 1))
-        nxt[-1] = -1
-        prv.extend(range(n - 1, n + _BLOCK - 1))
-        if free_tail == -1:
-            free_head, prv[n] = n, -1
-        else:
-            nxt[free_tail], prv[n] = n, free_tail
-        free_tail = n + _BLOCK - 1
-        if (n >> 8) - oldest_block >= _WINDOW_BLOCKS:
-            lo = oldest_block << 8
-            for s in range(lo, lo + _BLOCK):
-                if not used[s]:
-                    unlink(s)      # fixed: stays a 0-unit in the file
-            oldest_block += 1
-        return n
-
-    occupy(0)                  # root lives at slot 0
+    # base scan via the shared _SlotWindow (fixed free slots stay
+    # 0-units in the file, exactly what darts treats as non-matching)
+    pool = _SlotWindow()
+    used = pool.used
+    units = [0] * _BLOCK
 
     # BFS: (position, trie node); each node's unit already carries its
     # label (and bit31-free) — we add offset/has_leaf when popped
@@ -354,7 +309,7 @@ def write_dct(items, path: str) -> int:
             continue
         l0 = slots[0]
         base = -1
-        s = free_head
+        s = pool.head
         while s != -1:
             cand = s ^ l0      # child l0 lands on the free slot s itself
             if cand != pos and cand not in used_base and \
@@ -363,9 +318,10 @@ def write_dct(items, path: str) -> int:
                         for l in slots):
                 base = cand
                 break
-            s = nxt[s]
+            s = pool.nxt[s]
         if base < 0:           # window exhausted: take a virgin block
-            n0 = grow_block()
+            n0 = pool.grow_block()
+            units.extend([0] * _BLOCK)
             # low byte matched to pos → offset low byte 0, so it stays
             # encodable however far the tail is (256-aligned _EXT_BIT form)
             base = n0 | (pos & 0xFF)
@@ -377,11 +333,11 @@ def write_dct(items, path: str) -> int:
             units[pos] | (_HAS_LEAF if has_value else 0), o)
         if has_value:
             leaf = pos ^ o
-            occupy(leaf)
+            pool.occupy(leaf)
             units[leaf] = _LEAF_BIT | int(node[-1])
         for l in labels:
             child = pos ^ o ^ l
-            occupy(child)
+            pool.occupy(child)
             units[child] = l
             queue.append((child, node[l]))
 

@@ -142,9 +142,10 @@ def read_kb_tsv_spark(spark, path: str):
         version, head_kb, _ = read_kb_tsv_header_only(fh)
         first_data = fh.readline()
         if first_data[:1] == "Q":
-            # fail fast: the numeric-ID row filter below would silently
-            # drop EVERY row of a Wikidata-keyed KB → 0-row DataFrame →
-            # a mention-less pipeline with no error anywhere downstream
+            # friendly early error for the all-Q case: the numeric-ID row
+            # filter below would silently drop EVERY row of a
+            # Wikidata-keyed KB → 0-row DataFrame → a mention-less
+            # pipeline with no error anywhere downstream
             raise ValueError(
                 f"{path} is Wikidata-keyed (Q-prefixed IDs); its internal "
                 "ids are data-line numbers, which a distributed unordered "
@@ -152,11 +153,29 @@ def read_kb_tsv_spark(spark, path: str):
     colmap = next(iter(head_kb.values()))
     names = [n for n, _ in sorted(colmap.items(), key=lambda kv: kv[1])]
     schema = ", ".join(f"_c{i} string" for i in range(len(names)))
+    # row filter with a distributed fail-fast: numeric IDs are data,
+    # header shapes (VERSION=/HEAD '<type>' line/blank) drop silently,
+    # and ANYTHING ELSE (a Q-keyed row in a mixed file, corruption)
+    # raises at scan time via assert_true — the driver sniff above only
+    # sees line 1, and a partial silent drop is the same loss class as
+    # the all-Q case.  The assert lives INSIDE the filter expression so
+    # the optimizer cannot prune it; CASE short-circuits per row, so
+    # clean rows never evaluate it.
+    is_num = F.col("_c0").rlike("^[0-9]+$")
+    is_hdr = (F.col("_c0").isNull() | (F.col("_c0") == "")
+              | F.col("_c0").rlike("^(VERSION=|<)"))
+    keep = (F.when(is_num, F.lit(True))
+            .when(is_hdr, F.lit(False))
+            .otherwise(F.assert_true(
+                F.lit(False),
+                F.lit(f"{path}: non-numeric ID in a data row (Wikidata-"
+                      "keyed or corrupt KB.tsv) — use the driver reader "
+                      "read_kb_tsv")).isNull()))
     df = (
         spark.read.option("sep", "\t").option("header", "false")
         .schema(schema)
         .csv(path)
-        .filter(F.col("_c0").rlike("^[0-9]+$"))
+        .filter(keep)
     )
     rev = {v: k for k, v in _HEAD_NAMES.items()}
     cols = []

@@ -12,7 +12,13 @@ Exactness (the DuckDB oracle hash-matches): the one transcendental
 inputs in both engines and immediately quantized to integer micro-nats,
 so every per-document aggregate is an exact long sum — order-
 independent, hence immune to the float-summation-order divergence that
-makes naive ``avg(double)`` oracles flaky.
+makes naive ``avg(double)`` oracles flaky.  Known theoretical bound:
+JVM ``Math.log`` and DuckDB's libm ``log`` are each ≤1 ulp but not
+guaranteed bit-identical, so a per-type NLL landing within ~1 ulp of a
+micro-nat .5 boundary COULD quantize differently across engines
+(probability ~1e-11 per type; with 10³-10⁴ types the oracle's false-
+mismatch risk is ~1e-7 — accepted and, unlike a float-sum divergence,
+it would surface as a loud isolated hash mismatch, not silent drift).
 
 Scale shape: the vocabulary is capped at the ``top_k`` most frequent
 types (lexicographic tie-break) with a single ``<unk>`` type absorbing

@@ -77,6 +77,17 @@ def test_kb_tsv_spark_rejects_qkeyed(spark, kb_rows, tmp_path):
         write_kb_tsv(qrows, fh)
     with pytest.raises(ValueError, match="Wikidata-keyed"):
         read_kb_tsv_spark(spark, p)
+    # MIXED file (numeric first row, Q-keyed later — our own writer can
+    # produce this): the driver sniff passes, so the distributed
+    # assert_true guard must raise at scan time instead of silently
+    # dropping the Q rows
+    mixed = [dict(kb_rows[0])] + qrows[1:]
+    p2 = str(tmp_path / "KBmixed.tsv")
+    with open(p2, "w") as fh:
+        write_kb_tsv(mixed, fh)
+    _, df = read_kb_tsv_spark(spark, p2)
+    with pytest.raises(Exception, match="non-numeric ID"):
+        df.count()
 
 
 def test_compile_kb_qid_mode(spark, kb_rows):
