@@ -849,6 +849,18 @@ def q_lm_perplexity(spark, sf_dir):
     return unigram_lm_scores(_t(spark, sf_dir, "documents"), top_k=512)
 
 
+def q_lm_bigram(spark, sf_dir):
+    """Stupid-backoff bigram extension of lm_perplexity (textops.lm,
+    Brants et al. 2007) — same micro-nat exactness device, plus a
+    bigram LM (top-k pairs) backed off to alpha·unigram.  Oracle-backed
+    but PARKED outside the driver window: the LM micro-nat device is
+    in-window via lm_perplexity; check_contract verifies this oracle
+    locally."""
+    from ner_spark.textops.lm import bigram_backoff_scores
+    return bigram_backoff_scores(_t(spark, sf_dir, "documents"),
+                                 top_k=512, alpha=0.4)
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test assignment by md5-range on
     doc_id — operators.stable_split.  Key-hash splits (vs rand()) stay
@@ -1026,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # below is driver-green in ≥2 prior rounds, 9 of them in all
         # three) ----
         "customers_without_orders": q_customers_without_orders,
+        "lm_bigram": q_lm_bigram,
         "embed_lsh_full": q_embed_lsh_full,
         "embed_ivf_full": q_embed_ivf_full,
         "salted_count": q_salted_count,
@@ -1329,6 +1342,13 @@ _CORPUS_SPLIT_SQL = _corpus_split_sql()
 def oracle_sql() -> dict[str, str]:
     # dedup_minhash: the same seeded affine-permutation constants the
     # Spark kernel draws (textops/dedup.py:143-145), embedded as literals
+    import math as _math
+
+    # lm_bigram: the backoff penalty literal must be the SAME number the
+    # Spark kernel embeds (textops/lm.py computes it with the identical
+    # Python expression)
+    _lm_back = round(-_math.log(0.4) * 1e6)
+
     import numpy as np
     _rng = np.random.RandomState(42)
     _M = (1 << 61) - 1
@@ -2294,6 +2314,59 @@ def oracle_sql() -> dict[str, str]:
                                              / (n + kv + 1)::DOUBLE) * 1e6)
                                    AS BIGINT)) AS nll_u
               FROM toks t LEFT JOIN lm l USING (tok), consts)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(sum(nll_u)::DOUBLE / 1e6 / count(*), 4)
+                       AS cross_entropy
+            FROM scored GROUP BY doc_id
+        """,
+        # lm_bigram: stupid-backoff — bigram LM (top-512 pairs, NLL vs
+        # the predecessor's unigram count) backed off to
+        # -ln(0.4)+unigram; same micro-nat exactness device
+        "lm_bigram": f"""
+            WITH dt AS (SELECT doc_id,
+                               list_filter(string_split(lower(text), ' '),
+                                           x -> x <> '') AS toks
+                        FROM documents),
+            d2 AS (SELECT doc_id, toks FROM dt WHERE len(toks) > 0),
+            uni_toks AS (SELECT doc_id, unnest(toks) AS tok FROM d2),
+            counts AS (SELECT tok, count(*)::BIGINT AS c
+                       FROM uni_toks GROUP BY tok),
+            kept AS (SELECT tok, c FROM counts ORDER BY c DESC, tok
+                     LIMIT 512),
+            consts AS (SELECT (SELECT sum(c) FROM counts) AS n,
+                              (SELECT sum(c) FROM kept) AS kn,
+                              (SELECT count(*) FROM kept) AS kv),
+            uni AS (SELECT tok, CAST(round(-ln((c + 1)::DOUBLE
+                                              / (n + kv + 1)::DOUBLE) * 1e6)
+                                     AS BIGINT) AS u_u
+                    FROM kept, consts),
+            unkv AS (SELECT CAST(round(-ln((n - kn + 1)::DOUBLE
+                                           / (n + kv + 1)::DOUBLE) * 1e6)
+                                 AS BIGINT) AS unk
+                     FROM consts),
+            prs AS (SELECT doc_id,
+                           unnest(list_zip(toks[1:len(toks)-1],
+                                           toks[2:len(toks)])) AS p
+                    FROM d2 WHERE len(toks) >= 2),
+            pairs AS (SELECT doc_id, p[1] AS h, p[2] AS tok FROM prs),
+            bic AS (SELECT h, tok, count(*)::BIGINT AS bc
+                    FROM pairs GROUP BY h, tok),
+            bi_kept AS (SELECT h, tok, bc FROM bic
+                        ORDER BY bc DESC, h, tok LIMIT 512),
+            bi_lm AS (SELECT b.h, b.tok,
+                             CAST(round(-ln(b.bc::DOUBLE / c.c::DOUBLE)
+                                        * 1e6) AS BIGINT) AS b_u
+                      FROM bi_kept b JOIN counts c ON c.tok = b.h),
+            firsts AS (SELECT d2.doc_id, coalesce(u.u_u, unkv.unk) AS nll_u
+                       FROM d2 LEFT JOIN uni u ON u.tok = d2.toks[1], unkv),
+            rest AS (SELECT p.doc_id,
+                            coalesce(bl.b_u,
+                                     {_lm_back}
+                                     + coalesce(u.u_u, unkv.unk)) AS nll_u
+                     FROM pairs p
+                     LEFT JOIN bi_lm bl ON bl.h = p.h AND bl.tok = p.tok
+                     LEFT JOIN uni u ON u.tok = p.tok, unkv),
+            scored AS (SELECT * FROM firsts UNION ALL SELECT * FROM rest)
             SELECT doc_id, count(*) AS n_tokens,
                    round(sum(nll_u)::DOUBLE / 1e6 / count(*), 4)
                        AS cross_entropy

@@ -57,7 +57,7 @@ HEADLINE = [
     "gopher_quality", "kgc_type_conflicts", "kgc_negative_samples",
     "kgc_communities",
     # late-round-4 additions
-    "url_canonical", "dedup_substring", "lm_perplexity",
+    "url_canonical", "dedup_substring", "lm_perplexity", "lm_bigram",
 ]
 
 

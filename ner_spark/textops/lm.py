@@ -83,3 +83,72 @@ def unigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round(F.sum("nll_u").cast("double") / 1e6
                          / F.count(F.lit(1)), 4).alias("cross_entropy")))
+
+
+def bigram_backoff_scores(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", top_k: int = 4096,
+                          alpha: float = 0.4) -> DataFrame:
+    """(doc_id, n_tokens, cross_entropy): stupid-backoff bigram scoring
+    (Brants et al. 2007, the web-scale LM device CCNet's KenLM
+    generalizes): token i with predecessor h scores
+    ``-ln(c(h,w)/c(h))`` when the bigram is among the ``top_k`` most
+    frequent, else ``-ln(alpha) + unigram NLL``; each document's first
+    token takes the unigram path un-penalized.  Same exactness device
+    as :func:`unigram_lm_scores` — per-TYPE micro-nat quantization
+    (bigram types and unigram types), exact long sums per document.
+
+    Plan: one narrow pass builds token AND adjacent-pair arrays
+    (``arrays_zip`` of the array with its shift — no positional
+    self-join); bigram/unigram counts are two aggs over the exploded
+    forms; both capped LMs return as broadcasts.  Same persist +
+    clearCache note as unigram."""
+    toks_arr = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                        lambda x: x != "")
+    base = docs.select(F.col(id_col), toks_arr.alias("_toks"))
+    toks = base.select(id_col, F.posexplode("_toks").alias("pos", "tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    kept = counts.orderBy(F.col("c").desc(), "tok").limit(top_k)
+    consts = (counts.agg(F.sum("c").alias("n"))
+              .crossJoin(kept.agg(F.sum("c").alias("kn"),
+                                  F.count(F.lit(1)).alias("kv"))))
+    back = F.lit(round(-__import__("math").log(alpha) * 1e6))
+    uni = (kept.crossJoin(F.broadcast(consts))
+           .select("tok", _unats(F.col("c") + 1,
+                                 F.col("n") + F.col("kv") + 1).alias("u_u")))
+    unk = _unats(F.col("n") - F.col("kn") + 1, F.col("n") + F.col("kv") + 1)
+
+    n_pairs = F.greatest(F.size("_toks") - 1, F.lit(0))
+    pairs = base.select(
+        id_col,
+        F.posexplode(F.arrays_zip(
+            F.slice("_toks", 1, n_pairs).alias("h"),
+            F.slice("_toks", 2, n_pairs).alias("w")
+        )).alias("pos", "pair")) \
+        .select(id_col, F.col("pos"),
+                F.col("pair.h").alias("h"), F.col("pair.w").alias("tok"))
+    bi_counts = pairs.groupBy("h", "tok").agg(F.count(F.lit(1)).alias("bc"))
+    bi_kept = bi_counts.orderBy(F.col("bc").desc(), "h", "tok").limit(top_k)
+    # bigram NLL needs c(h): join the (persisted) unigram counts —
+    # top_k rows against the vocab table, broadcast the small side
+    bi_lm = (F.broadcast(bi_kept)
+             .join(counts.withColumnRenamed("tok", "h")
+                         .withColumnRenamed("c", "hc"), "h")
+             .select("h", "tok", _unats(F.col("bc"), F.col("hc"))
+                     .alias("b_u")))
+
+    # first token of each doc: unigram path, no backoff penalty
+    first = toks.filter(F.col("pos") == 0) \
+        .join(F.broadcast(uni), "tok", "left") \
+        .crossJoin(F.broadcast(consts)) \
+        .select(id_col, F.coalesce("u_u", unk).alias("nll_u"))
+    rest = (pairs.join(F.broadcast(bi_lm), ["h", "tok"], "left")
+            .join(F.broadcast(uni), "tok", "left")
+            .crossJoin(F.broadcast(consts))
+            .select(id_col,
+                    F.coalesce(F.col("b_u"),
+                               back + F.coalesce("u_u", unk)).alias("nll_u")))
+    return (first.unionByName(rest)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.sum("nll_u").cast("double") / 1e6
+                         / F.count(F.lit(1)), 4).alias("cross_entropy")))

@@ -82,7 +82,10 @@ _REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {
     # parked late-r4 for lm_perplexity (new, never driver-checked):
     # thrice-green; the absence-join device stays in-window via
     # decontaminate's broadcast anti-join and click_only_users's EXCEPT
-    "customers_without_orders"}
+    "customers_without_orders",
+    # born parked: the micro-nat LM exactness device is in-window via
+    # lm_perplexity; check_contract verifies this oracle locally
+    "lm_bigram"}
 
 
 def test_every_oracle_has_a_query_and_matching_order():

@@ -300,6 +300,47 @@ def test_unigram_lm_scores_exact(spark):
     assert got == want          # doc 4 (zero tokens) absent from both
 
 
+def test_bigram_backoff_exact(spark):
+    """textops.lm.bigram_backoff_scores vs an independent pure-Python
+    stupid-backoff recomputation: top-k bigram LM (count desc, pair asc),
+    -ln(alpha) penalty on the unigram fallback, first token unigram
+    un-penalized."""
+    import math
+    from collections import Counter
+
+    from ner_spark.textops.lm import bigram_backoff_scores
+
+    texts = {1: "the cat sat on the mat", 2: "the the the the",
+             3: "zyzzyva qwyjibo zyzzyva qwyjibo", 4: ""}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    K, A = 3, 0.4
+    got = {r.doc_id: (r.n_tokens, r.cross_entropy)
+           for r in bigram_backoff_scores(docs, top_k=K, alpha=A).collect()}
+
+    toks = {d: t.lower().split() for d, t in texts.items() if t}
+    allc = Counter(t for ts in toks.values() for t in ts)
+    kept = sorted(allc.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+    n, kn, kv = sum(allc.values()), sum(c for _, c in kept), len(kept)
+    uni = {t: round(-math.log((c + 1) / (n + kv + 1)) * 1e6)
+           for t, c in kept}
+    unk = round(-math.log((n - kn + 1) / (n + kv + 1)) * 1e6)
+    bic = Counter((ts[i], ts[i + 1])
+                  for ts in toks.values() for i in range(len(ts) - 1))
+    bkept = sorted(bic.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+    bi = {hw: round(-math.log(c / allc[hw[0]]) * 1e6) for hw, c in bkept}
+    back = round(-math.log(A) * 1e6)
+    want = {}
+    for d, ts in toks.items():
+        s = uni.get(ts[0], unk)
+        for i in range(1, len(ts)):
+            hw = (ts[i - 1], ts[i])
+            s += bi[hw] if hw in bi else back + uni.get(ts[i], unk)
+        want[d] = (len(ts), round(s / 1e6 / len(ts), 4))
+    assert got == want
+    spark.catalog.clearCache()
+
+
 def test_unigram_lm_plan_shape(spark, docs_df):
     """Scale assertions: the LM joins back as a broadcast hash join, no
     cartesian product, and the top-k vocabulary comes from TakeOrdered
