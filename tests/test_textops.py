@@ -341,6 +341,64 @@ def test_bigram_backoff_exact(spark):
     spark.catalog.clearCache()
 
 
+def test_lm_fuzz_corpus_parity(spark):
+    """Both LM scorers vs pure-Python on a seeded adversarial corpus:
+    multi-space runs, unicode, single-token docs, empty docs, repeated
+    tokens, tokens colliding only after lower()."""
+    import math
+    import random
+    from collections import Counter
+
+    from ner_spark.textops.lm import (bigram_backoff_scores,
+                                      unigram_lm_scores)
+
+    rng = random.Random(11)
+    vocab = ["The", "the", "Ünïcode", "a", "b", "zz", "Ünïcode!",
+             "x" * 40, "§", "123"]
+    texts = {}
+    for d in range(1, 61):
+        n = rng.randrange(0, 12)
+        texts[d] = (" " * rng.randrange(1, 3)).join(
+            rng.choice(vocab) for _ in range(n))
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    K, A = 5, 0.4
+    toks = {d: [t for t in t_.lower().split(" ") if t]
+            for d, t_ in texts.items()}
+    toks = {d: ts for d, ts in toks.items() if ts}
+    allc = Counter(t for ts in toks.values() for t in ts)
+    kept = sorted(allc.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+    n, kn, kv = sum(allc.values()), sum(c for _, c in kept), len(kept)
+    uni = {t: round(-math.log((c + 1) / (n + kv + 1)) * 1e6)
+           for t, c in kept}
+    unk = round(-math.log((n - kn + 1) / (n + kv + 1)) * 1e6)
+
+    got_u = {r.doc_id: (r.n_tokens, r.cross_entropy)
+             for r in unigram_lm_scores(docs, top_k=K).collect()}
+    want_u = {d: (len(ts), round(sum(uni.get(t, unk) for t in ts) / 1e6
+                                 / len(ts), 4))
+              for d, ts in toks.items()}
+    assert got_u == want_u
+
+    bic = Counter((ts[i], ts[i + 1])
+                  for ts in toks.values() for i in range(len(ts) - 1))
+    bkept = sorted(bic.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+    bi = {hw: round(-math.log(c / allc[hw[0]]) * 1e6) for hw, c in bkept}
+    back = round(-math.log(A) * 1e6)
+    got_b = {r.doc_id: (r.n_tokens, r.cross_entropy)
+             for r in bigram_backoff_scores(docs, top_k=K,
+                                            alpha=A).collect()}
+    want_b = {}
+    for d, ts in toks.items():
+        s = uni.get(ts[0], unk)
+        for i in range(1, len(ts)):
+            hw = (ts[i - 1], ts[i])
+            s += bi[hw] if hw in bi else back + uni.get(ts[i], unk)
+        want_b[d] = (len(ts), round(s / 1e6 / len(ts), 4))
+    assert got_b == want_b
+    spark.catalog.clearCache()
+
+
 def test_unigram_lm_plan_shape(spark, docs_df):
     """Scale assertions: the LM joins back as a broadcast hash join, no
     cartesian product, and the top-k vocabulary comes from TakeOrdered
