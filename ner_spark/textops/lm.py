@@ -97,11 +97,15 @@ def bigram_backoff_scores(docs: DataFrame, id_col: str = "doc_id",
     as :func:`unigram_lm_scores` — per-TYPE micro-nat quantization
     (bigram types and unigram types), exact long sums per document.
 
-    Plan: one narrow pass builds token AND adjacent-pair arrays
-    (``arrays_zip`` of the array with its shift — no positional
-    self-join); bigram/unigram counts are two aggs over the exploded
-    forms; both capped LMs return as broadcasts.  Same persist +
-    clearCache note as unigram."""
+    Plan: adjacent pairs come from ``arrays_zip`` of the token array
+    with its own shift — a narrow projection, never a positional
+    self-join; bigram/unigram counts are aggs over the exploded forms
+    and both capped LMs return as broadcasts.  The corpus is scanned
+    four times (unigram train, bigram train, first-token score,
+    pair score) — deliberate: the alternative is caching a
+    corpus-sized token-array column, which at web scale costs far more
+    memory than three extra narrow scans.  Text never shuffles.  Same
+    persist + clearCache note as unigram."""
     toks_arr = F.filter(F.split(F.lower(F.col(text_col)), " "),
                         lambda x: x != "")
     base = docs.select(F.col(id_col), toks_arr.alias("_toks"))
