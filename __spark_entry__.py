@@ -41,9 +41,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("url"), "text")
+def _docs_as_pages(spark: SparkSession, sf_dir: str,
+                   where: str | None = None) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    if where:
+        d = d.filter(where)
+    d = d.select(F.col("doc_id").cast("string").alias("url"), "text")
     # the small test parquet arrives as 1-2 splits; spread the CPU-bound
     # mention UDF across cores.  At real scale inputs have thousands of
     # splits and this branch never fires (no shuffle of 100 TB of text).
@@ -324,6 +327,27 @@ def q_kgc_triples(spark, sf_dir):
     art = compile_dockb(spark)
     mentions = extract_mentions(_docs_as_pages(spark, sf_dir), art).persist()
     return build_triples(mentions, art.kb_df)
+
+
+def q_kgc_triple_delta(spark, sf_dir):
+    """Recrawl maintenance deltas (pipeline.triples.triple_delta): the
+    'old crawl' is the documents table minus every 7th page, the 'new
+    crawl' is the full table; output = (op, subj, pred, obj, weight)
+    adds/dels that bring old → new (new mention/co-mention triples plus
+    del+add pairs for co-mention weight changes).  Exact oracle: the
+    kgc_triples SQL replayed twice (filtered / full) composed with
+    EXCEPT ALL both ways.  Oracle-backed but PARKED: the triple-build
+    device is in-window via kgc_triples, the multiset-difference device
+    via click_only_users; check_contract verifies locally."""
+    from ner_spark.pipeline.triples import triple_delta
+    art = compile_dockb(spark)
+    old = build_triples(
+        extract_mentions(_docs_as_pages(spark, sf_dir,
+                                        "doc_id % 7 != 0"), art),
+        art.kb_df)
+    new = build_triples(
+        extract_mentions(_docs_as_pages(spark, sf_dir), art), art.kb_df)
+    return triple_delta(old, new)
 
 
 def q_kgc_sameas(spark, sf_dir):
@@ -1039,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # three) ----
         "customers_without_orders": q_customers_without_orders,
         "lm_bigram": q_lm_bigram,
+        "kgc_triple_delta": q_kgc_triple_delta,
         "embed_lsh_full": q_embed_lsh_full,
         "embed_ivf_full": q_embed_ivf_full,
         "salted_count": q_salted_count,
@@ -1095,9 +1120,29 @@ _LANGS_SQL = {
 }
 
 
-def _kgc_matches() -> str:
-    return (f"SELECT url, tok, {surface_case_sql()} AS id FROM ({_TOKS}) "
+def _kgc_matches(doc_where: str = "") -> str:
+    toks = _TOKS + (f" WHERE {doc_where}" if doc_where else "")
+    return (f"SELECT url, tok, {surface_case_sql()} AS id FROM ({toks}) "
             f"WHERE tok IN ({surfaces_in_list_sql()})")
+
+
+def _kgc_triples_sql(doc_where: str = "") -> str:
+    """The kgc_triples oracle body, parameterized by a documents-table
+    filter so kgc_triple_delta can replay it twice (old/new crawl)."""
+    return f"""
+            WITH m AS ({_kgc_matches(doc_where)}),
+                 d AS (SELECT DISTINCT url, id FROM m)
+            SELECT url AS subj, 'mentions' AS pred, 'e:' || id AS obj,
+                   CAST(NULL AS BIGINT) AS weight FROM m
+            UNION ALL
+            SELECT 'e:' || id, 'rdf:type', type, NULL FROM {_kb_values()}
+            UNION ALL
+            SELECT 'e:' || id, 'description', descr, NULL FROM {_kb_values()}
+            UNION ALL
+            SELECT 'e:' || a.id, 'coMentionedWith', 'e:' || b.id, count(*)
+            FROM d a JOIN d b USING (url) WHERE a.id < b.id
+            GROUP BY a.id, b.id
+        """
 
 
 def _kb_values() -> str:
@@ -1548,19 +1593,18 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b USING (url) WHERE a.id < b.id
             GROUP BY a.id, b.id
         """,
-        "kgc_triples": f"""
-            WITH m AS ({_kgc_matches()}),
-                 d AS (SELECT DISTINCT url, id FROM m)
-            SELECT url AS subj, 'mentions' AS pred, 'e:' || id AS obj,
-                   CAST(NULL AS BIGINT) AS weight FROM m
+        "kgc_triples": _kgc_triples_sql(),
+        # kgc_triple_delta: the same triple replay twice (old = every
+        # page except doc_id % 7 == 0; new = all pages), EXCEPT ALL both
+        # ways — multiset semantics match Spark exceptAll, NULL-safe
+        "kgc_triple_delta": f"""
+            WITH old AS ({_kgc_triples_sql("doc_id % 7 <> 0")}),
+                 newt AS ({_kgc_triples_sql()})
+            SELECT 'add' AS op, * FROM
+                (SELECT * FROM newt EXCEPT ALL SELECT * FROM old)
             UNION ALL
-            SELECT 'e:' || id, 'rdf:type', type, NULL FROM {_kb_values()}
-            UNION ALL
-            SELECT 'e:' || id, 'description', descr, NULL FROM {_kb_values()}
-            UNION ALL
-            SELECT 'e:' || a.id, 'coMentionedWith', 'e:' || b.id, count(*)
-            FROM d a JOIN d b USING (url) WHERE a.id < b.id
-            GROUP BY a.id, b.id
+            SELECT 'del' AS op, * FROM
+                (SELECT * FROM old EXCEPT ALL SELECT * FROM newt)
         """,
         "kgc_entity_degree": f"""
             WITH m AS ({_kgc_matches()}),

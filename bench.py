@@ -58,6 +58,7 @@ HEADLINE = [
     "kgc_communities",
     # late-round-4 additions
     "url_canonical", "dedup_substring", "lm_perplexity", "lm_bigram",
+    "kgc_triple_delta",
 ]
 
 

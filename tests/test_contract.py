@@ -85,7 +85,10 @@ _REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {
     "customers_without_orders",
     # born parked: the micro-nat LM exactness device is in-window via
     # lm_perplexity; check_contract verifies this oracle locally
-    "lm_bigram"}
+    "lm_bigram",
+    # born parked: triple-build device in-window via kgc_triples,
+    # multiset-difference via click_only_users
+    "kgc_triple_delta"}
 
 
 def test_every_oracle_has_a_query_and_matching_order():

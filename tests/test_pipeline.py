@@ -159,3 +159,29 @@ def test_entity_date_edges_matches_pandas_recompute(spark, pages_df,
     for r in entity_date_edges(mentions).collect()[:1]:
         assert r.pred == "associatedDate"
     mentions.unpersist()
+
+
+def test_triple_delta_recrawl(spark):
+    """triple_delta: pure adds for brand-new triples, del+add pair for a
+    weight change, nothing for unchanged rows (multiset, NULL-safe)."""
+    from ner_spark.pipeline.triples import triple_delta
+
+    schema = "subj string, pred string, obj string, weight long"
+    old = spark.createDataFrame([
+        ("u1", "mentions", "e:1", None),        # unchanged
+        ("e:1", "coMentionedWith", "e:2", 3),   # weight changes to 5
+        ("u9", "mentions", "e:4", None),        # page dropped in recrawl
+    ], schema)
+    new = spark.createDataFrame([
+        ("u1", "mentions", "e:1", None),
+        ("e:1", "coMentionedWith", "e:2", 5),
+        ("u2", "mentions", "e:3", None),        # brand-new page
+    ], schema)
+    got = {(r.op, r.subj, r.pred, r.obj, r.weight)
+           for r in triple_delta(old, new).collect()}
+    assert got == {
+        ("add", "e:1", "coMentionedWith", "e:2", 5),
+        ("add", "u2", "mentions", "e:3", None),
+        ("del", "e:1", "coMentionedWith", "e:2", 3),
+        ("del", "u9", "mentions", "e:4", None),
+    }
