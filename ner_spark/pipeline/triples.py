@@ -236,3 +236,15 @@ def triple_delta(old: DataFrame, new: DataFrame) -> DataFrame:
     dropped = old.exceptAll(new).withColumn("op", F.lit("del"))
     cols = ["op"] + list(new.columns)
     return add.unionByName(dropped).select(*cols)
+
+
+def apply_delta(table: DataFrame, delta: DataFrame) -> DataFrame:
+    """Apply a :func:`triple_delta` result to a triple table: remove the
+    ``del`` rows (multiset — one matching occurrence per del row, which
+    ``exceptAll`` gives exactly), add the ``add`` rows.  Invariant
+    (pytest-pinned): ``apply_delta(old, triple_delta(old, new))`` is
+    multiset-equal to ``new``."""
+    body = [c for c in delta.columns if c != "op"]
+    dels = delta.filter(F.col("op") == "del").select(*body)
+    adds = delta.filter(F.col("op") == "add").select(*body)
+    return table.exceptAll(dels).unionByName(adds)

@@ -185,3 +185,27 @@ def test_triple_delta_recrawl(spark):
         ("del", "e:1", "coMentionedWith", "e:2", 3),
         ("del", "u9", "mentions", "e:4", None),
     }
+
+
+def test_apply_delta_roundtrip(spark):
+    """apply_delta(old, triple_delta(old, new)) ≡ new (multiset)."""
+    from ner_spark.pipeline.triples import apply_delta, triple_delta
+
+    schema = "subj string, pred string, obj string, weight long"
+    old = spark.createDataFrame([
+        ("u1", "mentions", "e:1", None),
+        ("u1", "mentions", "e:1", None),       # duplicate row (multiset)
+        ("e:1", "coMentionedWith", "e:2", 3),
+        ("u9", "mentions", "e:4", None),
+    ], schema)
+    new = spark.createDataFrame([
+        ("u1", "mentions", "e:1", None),
+        ("e:1", "coMentionedWith", "e:2", 5),
+        ("u2", "mentions", "e:3", None),
+    ], schema)
+    applied = apply_delta(old, triple_delta(old, new))
+    roundtrip = sorted((r.subj, r.pred, r.obj, r.weight)
+                       for r in applied.collect())
+    want = sorted((r.subj, r.pred, r.obj, r.weight)
+                  for r in new.collect())
+    assert roundtrip == want
