@@ -63,8 +63,6 @@ def test_no_oracle_projects_hugeint_or_decimal(con):
 #    in r2-parked set and the three upgraded graph oracles.
 _SAME_AS_KNN = {"embed_lsh_full", "embed_ivf_full"}
 _REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {
-    "salted_count", "customers_with_orders", "revenue_rollup",
-    "tpch_q5_like",
     # thrice-green, parked r4:
     "tpch_q3_like", "top_order_per_customer", "text_fingerprint",
     "text_langid", "text_quality", "text_token_bpe", "word_frequency",
@@ -79,16 +77,11 @@ _REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {
     # + text_repetition; extraction+count via kgc_entity_degree /
     # kgc_comention_pairs / kgc_triples
     "quality_filter", "kgc_mention_counts",
-    # parked late-r4 for lm_perplexity (new, never driver-checked):
-    # thrice-green; the absence-join device stays in-window via
-    # decontaminate's broadcast anti-join and click_only_users's EXCEPT
-    "customers_without_orders",
-    # born parked: the micro-nat LM exactness device is in-window via
-    # lm_perplexity; check_contract verifies this oracle locally
-    "lm_bigram",
-    # born parked: triple-build device in-window via kgc_triples,
-    # multiset-difference via click_only_users
-    "kgc_triple_delta"}
+    # parked r5 (each driver-green in ≥2 rounds incl. r4; devices still
+    # in-window — see the queries() docstring's round-5 rotation note):
+    "tpch_q10_like", "revenue_by_nation", "windowed_event_counts",
+    "distinct_users_exact", "click_only_users", "text_token_stats",
+    "event_props_json"}
 
 
 def test_every_oracle_has_a_query_and_matching_order():
