@@ -1353,6 +1353,8 @@ def adjust_coreferences(entities_and_dates: list, new_names: list[Mention],
 # the per-document driver (recognize stages b-k, ner.py:576-714)
 # ---------------------------------------------------------------------------
 
+_ckernel = None  # lazily-imported ckernel module (circular-import guard)
+
 def resolve_document(
     text: str,
     matches: Sequence[tuple[Sequence[int], int, int, str]],
@@ -1381,6 +1383,17 @@ def resolve_document(
     """
     if as_tuples and mode != "default":
         raise ValueError("as_tuples supports mode='default' only")
+    # compiled kernel (ckernel.py): covers the production surface
+    # (default/en/no -n) bug-for-bug; returns None → pure-Python path
+    global _ckernel
+    if _ckernel is None:
+        from . import ckernel as _ckernel_mod
+        _ckernel = _ckernel_mod
+    rows = _ckernel.try_resolve_document(
+        text, matches, kb, list_titles, find_names, mode, lang,
+        split_interval, as_tuples)
+    if rows is not None:
+        return rows
     register = Register()
     global_senses: set[int] = set()
     figa_entities: list[Mention] = []

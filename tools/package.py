@@ -19,7 +19,9 @@ def main() -> str:
             if "__pycache__" in dirpath:
                 continue
             for fn in filenames:
-                if fn.endswith(".py"):
+                # .cpp: the compiled resolve kernel's source rides along so
+                # executors can build it from package data (ckernel.py)
+                if fn.endswith((".py", ".cpp")):
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, ROOT))
     print(out)
