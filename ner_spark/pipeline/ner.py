@@ -96,7 +96,7 @@ def extract_mentions(pages: DataFrame, artifacts: KBArtifacts,
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ner_spark.semantics.lang import get_lang
-        from ner_spark.semantics.resolve import resolve_document
+        from ner_spark.semantics.recognize import scan_and_resolve
         from ner_spark.semantics.textnorm import remove_accent
 
         lang_mod = get_lang(lang)
@@ -112,10 +112,10 @@ def extract_mentions(pages: DataFrame, artifacts: KBArtifacts,
                     # removal (ner.py:614) — offsets refer to the
                     # transformed text, as in the reference
                     text = remove_accent(text)
-                scan_text = text.lower() if lowercase else text
-                matches = [(m.ids, m.start, m.end, m.fragment)
-                           for m in atm.scan(scan_text)]
-                for r in resolve_document(text, matches, bundle,
+                scan_text = text.lower() if lowercase else None
+                # fused C scan+resolve when covered; Python path otherwise
+                # (semantics/recognize.scan_and_resolve)
+                for r in scan_and_resolve(bundle, atm, text, scan_text,
                                           find_names=find_names,
                                           lang=lang_mod, as_tuples=True):
                     rows.append((url,) + r)

@@ -31,6 +31,7 @@
 #include <cstring>
 #include <string>
 #include <unordered_map>
+#include <deque>
 #include <unordered_set>
 #include <vector>
 
@@ -128,6 +129,19 @@ struct KBPack {
     vector<U32> there_ctx;           // location-coref right contexts
     U32 apos_s;                      // "'s"
     U32 into_pad;                    // " into "
+    // fused-scan support (ckernel.try_scan_resolve)
+    std::unordered_map<std::u32string, vector<int64_t>> name_dict;  // dl → ids
+    std::unordered_set<std::u32string> nat_forms;
+    std::unordered_map<std::u32string, int32_t> pron;  // source_lower → mask
+    // fragment pre-pass cache (fragments repeat Zipf-heavily); mutable at
+    // scan time — safe: one GIL-held call at a time per process
+    struct FragInfo {
+        U32 source, dl;
+        int32_t flags;       // pron|the_lower|The_title|There (not is_nat)
+        bool is_nat_form;    // source ∈ nationality_forms
+        const vector<int64_t> *pms;  // name_dict hit or null
+    };
+    std::unordered_map<std::u32string, FragInfo> frag_cache;
 };
 
 static void pack_destructor(PyObject *cap) {
@@ -237,6 +251,41 @@ static PyObject *build_pack(PyObject *self, PyObject *args) {
         get_str_list(d, "type_str", p->type_str) &&
         get_str_list(d, "verbs", p->verbs) &&
         get_str_list(d, "there_ctx", p->there_ctx);
+    if (ok) {  // fused-scan tables
+        PyObject *nd = PyDict_GetItemString(d, "name_dict");
+        PyObject *nf = PyDict_GetItemString(d, "nat_forms");
+        PyObject *pk = PyDict_GetItemString(d, "pron_keys");
+        PyObject *pm = PyDict_GetItemString(d, "pron_masks");
+        if (!nd || !nf || !pk || !pm) {
+            PyErr_SetString(PyExc_ValueError, "fused-scan pack args missing");
+            ok = false;
+        } else {
+            std::u32string key;
+            for (Py_ssize_t i = 0; ok && i < PyList_GET_SIZE(nd); i++) {
+                PyObject *kv = PyList_GET_ITEM(nd, i);
+                U32 k = to_u32(PyTuple_GET_ITEM(kv, 0));
+                key.assign(k.begin(), k.end());
+                PyObject *ids = PyTuple_GET_ITEM(kv, 1);
+                vector<int64_t> v((size_t)PyTuple_GET_SIZE(ids));
+                for (size_t j = 0; j < v.size(); j++)
+                    v[j] = PyLong_AsLongLong(
+                        PyTuple_GET_ITEM(ids, (Py_ssize_t)j));
+                p->name_dict.emplace(key, std::move(v));
+            }
+            for (Py_ssize_t i = 0; ok && i < PyList_GET_SIZE(nf); i++) {
+                U32 k = to_u32(PyList_GET_ITEM(nf, i));
+                key.assign(k.begin(), k.end());
+                p->nat_forms.insert(key);
+            }
+            for (Py_ssize_t i = 0; ok && i < PyList_GET_SIZE(pk); i++) {
+                U32 k = to_u32(PyList_GET_ITEM(pk, i));
+                key.assign(k.begin(), k.end());
+                p->pron[key] =
+                    (int32_t)PyLong_AsLong(PyList_GET_ITEM(pm, i));
+            }
+            ok = !PyErr_Occurred();
+        }
+    }
     if (ok) {
         PyObject *es = PyDict_GetItemString(d, "empty_sid");
         if (!es) { PyErr_SetString(PyExc_ValueError, "empty_sid missing"); ok = false; }
@@ -289,8 +338,11 @@ struct Mention {
     int32_t start, end;
     int32_t source_id;
     int32_t flags;
-    PyObject *src;  // borrowed (inputs alive for the whole call)
-    PyObject *dl;   // borrowed; deaccent_lower(source)
+    // source / deaccent_lower(source) content: pointers into the fragment
+    // cache (fused scan path) or the Doc's per-call string store (the
+    // pre-scanned resolve_doc path) — both stable for the call's lifetime
+    const U32 *srcp = nullptr;
+    const U32 *dlp = nullptr;
     vector<int64_t> senses;
     vector<int64_t> pms;         // partial_match_senses (sorted)
     vector<int64_t> candidates;
@@ -301,18 +353,9 @@ struct Mention {
     bool poorly_disambiguated = true;
     bool next_to_same_type = false;
     int64_t begin_of_paragraph = -1;  // -1 == None
-    // lazy UCS4 content caches
-    U32 src_u32, dl_u32;
-    bool src_cached = false, dl_cached = false;
 
-    const U32 &src_text() {
-        if (!src_cached) { src_u32 = to_u32(src); src_cached = true; }
-        return src_u32;
-    }
-    const U32 &dl_text() {
-        if (!dl_cached) { dl_u32 = to_u32(dl); dl_cached = true; }
-        return dl_u32;
-    }
+    const U32 &src_text() const { return *srcp; }
+    const U32 &dl_text() const { return *dlp; }
 };
 
 struct DateM {  // pre-rendered DateMatch (ckernel.py supplies the strings)
@@ -444,7 +487,10 @@ struct Doc {
     vector<DateM> dates;
     vector<int64_t> paragraphs;
     vector<std::pair<int64_t, int64_t>> pnouns;  // proper-noun spans (clean)
+    bool pnouns_ready = false;    // fused path: filled lazily via callback
+    PyObject *lazy_cb = nullptr;  // () -> (clean|None, pnoun list|None)
     SIdx sidx;
+    std::deque<U32> strstore;     // owns per-call source/dl strings
     bool fallback = false;   // set → wrapper re-runs pure Python
 
     void fail() { fallback = true; }
@@ -1245,12 +1291,40 @@ static void remove_shorter(Doc &d, vector<int32_t> &order) {
     order.swap(out);
 }
 
+// fused path: clean text + proper-noun regex spans come from a Python
+// callback, invoked only when the overlap filter actually needs them
+// (mirrors resolve.py:1052-1057's early outs — same regex cost profile)
+static bool ensure_pnouns(Doc &d) {
+    if (d.pnouns_ready) return true;
+    d.pnouns_ready = true;
+    if (!d.lazy_cb) return true;
+    PyObject *res = PyObject_CallNoArgs(d.lazy_cb);
+    if (!res) return false;  // Python error propagates
+    PyObject *clean_o = PyTuple_GET_ITEM(res, 0);
+    if (clean_o != Py_None) d.clean = to_u32(clean_o);
+    else if (d.clean.empty()) d.clean = d.text;  // clean == text
+    PyObject *pl = PyTuple_GET_ITEM(res, 1);
+    if (pl != Py_None) {
+        Py_ssize_t np = PyList_GET_SIZE(pl);
+        d.pnouns.resize((size_t)np);
+        for (Py_ssize_t i = 0; i < np; i++) {
+            PyObject *t = PyList_GET_ITEM(pl, i);
+            d.pnouns[(size_t)i] = {
+                PyLong_AsLongLong(PyTuple_GET_ITEM(t, 0)),
+                PyLong_AsLongLong(PyTuple_GET_ITEM(t, 1))};
+        }
+    }
+    Py_DECREF(res);
+    return !PyErr_Occurred();
+}
+
 // resolve.py:1047-1133 scalar path (the numpy variant is pinned equivalent
 // by resolve.py's own differential property test)
-static void overlap_filter(Doc &d, vector<int32_t> &entities) {
-    if (entities.empty()) return;
+static bool overlap_filter(Doc &d, vector<int32_t> &entities) {
+    if (entities.empty()) return true;
+    if (!ensure_pnouns(d)) return false;
     const auto &proper = d.pnouns;
-    if (proper.empty()) return;
+    if (proper.empty()) return true;
     const U32 &clean = d.clean;
     // sorted disjoint entity spans
     vector<std::pair<int64_t, int64_t>> iv;
@@ -1321,6 +1395,7 @@ static void overlap_filter(Doc &d, vector<int32_t> &entities) {
         if (!overlapped || keep) out.push_back(mi);
     }
     entities.swap(out);
+    return true;
 }
 
 // resolve.py:1136-1155 remove_nearby_entities
@@ -1372,6 +1447,8 @@ static void remove_nearby(Doc &d, vector<int32_t> &entities) {
 
 static PyObject *s_kb, *s_coref, *s_date, *s_interval;  // interned kinds
 
+static PyObject *run_pipeline(Doc &d);
+
 static bool parse_matches(Doc &d, PyObject *matches) {
     Py_ssize_t n = PyList_GET_SIZE(matches);
     d.men.resize((size_t)n);
@@ -1385,8 +1462,10 @@ static bool parse_matches(Doc &d, PyObject *matches) {
         PyObject *ids = PyTuple_GET_ITEM(t, 0);
         m.start = (int32_t)PyLong_AsLong(PyTuple_GET_ITEM(t, 1));
         m.end = (int32_t)PyLong_AsLong(PyTuple_GET_ITEM(t, 2));
-        m.src = PyTuple_GET_ITEM(t, 3);
-        m.dl = PyTuple_GET_ITEM(t, 4);
+        d.strstore.push_back(to_u32(PyTuple_GET_ITEM(t, 3)));
+        m.srcp = &d.strstore.back();
+        d.strstore.push_back(to_u32(PyTuple_GET_ITEM(t, 4)));
+        m.dlp = &d.strstore.back();
         m.flags = (int32_t)PyLong_AsLong(PyTuple_GET_ITEM(t, 5));
         PyObject *pms = PyTuple_GET_ITEM(t, 6);
         m.source_id = (int32_t)PyLong_AsLong(PyTuple_GET_ITEM(t, 7));
@@ -1467,7 +1546,12 @@ static PyObject *resolve_doc(PyObject *self, PyObject *args) {
         }
     }
     if (PyErr_Occurred()) return NULL;
+    return run_pipeline(d);
+}
 
+static PyObject *run_pipeline(Doc &d) {
+    const KBPack *kb = d.kb;
+    (void)kb;
     Register reg(d.men.size());
 
     // stage 1: global senses + pms intersection (resolve.py:1385-1401)
@@ -1549,7 +1633,7 @@ static PyObject *resolve_doc(PyObject *self, PyObject *args) {
     }
 
     // stage 8: overlap + nearby filters (resolve.py:1455-1460)
-    overlap_filter(d, entities);
+    if (!overlap_filter(d, entities)) return NULL;
     remove_nearby(d, entities);
     if (d.fallback) goto fallback;
 
@@ -1621,6 +1705,277 @@ fallback:
 }
 
 // ---------------------------------------------------------------------------
+// Fused scan: GazetteerAutomaton.scan twin (automaton.py:160-215) + the
+// per-match pre-pass, so one C call covers scan_text -> final mention rows
+// ---------------------------------------------------------------------------
+
+static inline bool is_ascii_punct(Py_UCS4 c) {
+    // string.punctuation: 33-47, 58-64, 91-96, 123-126
+    return (c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
+           (c >= 91 && c <= 96) || (c >= 123 && c <= 126);
+}
+
+// _TOKEN_RE (automaton.py:62-67): URI | non-delimiter run | single punct,
+// tried in that order at each position, case-sensitive
+static void tokenize_spans(const U32 &t,
+                           vector<std::pair<int64_t, int64_t>> &out) {
+    int64_t n = (int64_t)t.size();
+    int64_t i = 0;
+    while (i < n) {
+        Py_UCS4 c = t[(size_t)i];
+        if (c == 'h' && i + 4 <= n - 1 && t[(size_t)i + 1] == 't' &&
+            t[(size_t)i + 2] == 't' && t[(size_t)i + 3] == 'p') {
+            int64_t k = i + 4;
+            if (k < n && t[(size_t)k] == 's') k++;
+            if (k < n && t[(size_t)k] == ':') {
+                k++;  // https?: matched; swallow [^\x00-\x20\x7f]*
+                while (k < n && t[(size_t)k] > 0x20 && t[(size_t)k] != 0x7f)
+                    k++;
+                out.emplace_back(i, k);
+                i = k;
+                continue;
+            }
+        }
+        bool word_char = c > 0x20 && c != 0x7f && !is_ascii_punct(c);
+        if (word_char) {
+            int64_t k = i + 1;
+            while (k < n) {
+                Py_UCS4 d2 = t[(size_t)k];
+                if (!(d2 > 0x20 && d2 != 0x7f && !is_ascii_punct(d2))) break;
+                k++;
+            }
+            out.emplace_back(i, k);
+            i = k;
+        } else if (is_ascii_punct(c)) {
+            out.emplace_back(i, i + 1);
+            i++;
+        } else {
+            i++;  // space/control: no token starts here
+        }
+    }
+}
+
+struct AtmPack {
+    std::unordered_map<std::u32string, vector<int64_t>> keys;  // path → ids
+    std::unordered_set<std::u32string> prefixes;
+    std::unordered_set<std::u32string> first;
+};
+
+static void atm_destructor(PyObject *cap) {
+    delete (AtmPack *)PyCapsule_GetPointer(cap, "ner_spark.atmpack");
+}
+
+static PyObject *build_atm(PyObject *self, PyObject *args) {
+    PyObject *keys, *prefixes, *first;
+    if (!PyArg_ParseTuple(args, "O!O!O!", &PyList_Type, &keys, &PyList_Type,
+                          &prefixes, &PyList_Type, &first))
+        return NULL;
+    AtmPack *p = new AtmPack();
+    std::u32string key;
+    for (Py_ssize_t i = 0; i < PyList_GET_SIZE(keys); i++) {
+        PyObject *kv = PyList_GET_ITEM(keys, i);
+        U32 k = to_u32(PyTuple_GET_ITEM(kv, 0));
+        key.assign(k.begin(), k.end());
+        PyObject *ids = PyTuple_GET_ITEM(kv, 1);
+        vector<int64_t> v((size_t)PyTuple_GET_SIZE(ids));
+        for (size_t j = 0; j < v.size(); j++)
+            v[j] = PyLong_AsLongLong(PyTuple_GET_ITEM(ids, (Py_ssize_t)j));
+        p->keys.emplace(key, std::move(v));
+    }
+    for (Py_ssize_t i = 0; i < PyList_GET_SIZE(prefixes); i++) {
+        U32 k = to_u32(PyList_GET_ITEM(prefixes, i));
+        key.assign(k.begin(), k.end());
+        p->prefixes.insert(key);
+    }
+    for (Py_ssize_t i = 0; i < PyList_GET_SIZE(first); i++) {
+        U32 k = to_u32(PyList_GET_ITEM(first, i));
+        key.assign(k.begin(), k.end());
+        p->first.insert(key);
+    }
+    if (PyErr_Occurred()) { delete p; return NULL; }
+    return PyCapsule_New(p, "ner_spark.atmpack", atm_destructor);
+}
+
+// fragment → (source, dl, flags, is_nat_form, pms) with a per-KB cache.
+// ASCII fragments without NCRs are handled fully in C (deaccent is the
+// identity, str.lower == ASCII tolower); everything else goes through the
+// Python helper once per distinct fragment.  Returns null on Python error.
+static const KBPack::FragInfo *frag_info(KBPack *kb, const Py_UCS4 *frag,
+                                         Py_ssize_t flen, PyObject *frag_cb) {
+    static std::u32string key;  // scratch (single-threaded under the GIL)
+    key.assign(frag, frag + flen);
+    auto it = kb->frag_cache.find(key);
+    if (it != kb->frag_cache.end()) return &it->second;
+
+    KBPack::FragInfo fi;
+    bool ascii_ok = true;
+    bool has_amp_hash = false;
+    for (Py_ssize_t i = 0; i < flen; i++) {
+        if (frag[i] >= 128) ascii_ok = false;
+        if (frag[i] == '&' && i + 1 < flen && frag[i + 1] == '#')
+            has_amp_hash = true;
+    }
+    if (ascii_ok && !has_amp_hash) {
+        fi.source.assign(frag, frag + flen);
+        fi.dl = fi.source;
+        for (auto &c : fi.dl)
+            if (c >= 'A' && c <= 'Z') c += 32;
+        fi.flags = 0;
+        static std::u32string sl;
+        sl.assign(fi.dl.begin(), fi.dl.end());
+        auto pit = kb->pron.find(sl);
+        if (pit != kb->pron.end()) fi.flags |= pit->second;
+        if (fi.dl.size() >= 4 && fi.dl[0] == 't' && fi.dl[1] == 'h' &&
+            fi.dl[2] == 'e' && fi.dl[3] == ' ')
+            fi.flags |= FL_THE_LOWER;
+        if (flen >= 4 && frag[0] == 'T' && frag[1] == 'h' && frag[2] == 'e' &&
+            frag[3] == ' ')
+            fi.flags |= FL_THE_TITLE;
+        static const Py_UCS4 THERE[] = {'T', 'h', 'e', 'r', 'e'};
+        if (flen == 5 && memcmp(frag, THERE, sizeof(THERE)) == 0)
+            fi.flags |= FL_THERE;
+    } else {
+        PyObject *frag_s = PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND,
+                                                     frag, flen);
+        if (!frag_s) return NULL;
+        PyObject *res = PyObject_CallFunctionObjArgs(frag_cb, frag_s, NULL);
+        Py_DECREF(frag_s);
+        if (!res) return NULL;
+        fi.source = to_u32(PyTuple_GET_ITEM(res, 0));
+        fi.dl = to_u32(PyTuple_GET_ITEM(res, 1));
+        fi.flags = (int32_t)PyLong_AsLong(PyTuple_GET_ITEM(res, 2));
+        Py_DECREF(res);
+        if (PyErr_Occurred()) return NULL;
+    }
+    static std::u32string srckey;
+    srckey.assign(fi.source.begin(), fi.source.end());
+    fi.is_nat_form = kb->nat_forms.count(srckey) != 0;
+    static std::u32string dlkey;
+    dlkey.assign(fi.dl.begin(), fi.dl.end());
+    auto nit = kb->name_dict.find(dlkey);
+    fi.pms = nit == kb->name_dict.end() ? nullptr : &nit->second;
+    auto ins = kb->frag_cache.emplace(key, std::move(fi));
+    return &ins.first->second;
+}
+
+// scan_resolve_doc(kbpack, atmpack, text, scan_text|None, dates,
+//                  paragraphs, lazy_cb, frag_cb) -> list[tuple]
+static PyObject *scan_resolve_doc(PyObject *self, PyObject *args) {
+    PyObject *kcap, *acap, *text_o, *scan_o, *dates, *paragraphs, *lazy_cb,
+        *frag_cb;
+    if (!PyArg_ParseTuple(args, "OOO!OO!O!OO", &kcap, &acap, &PyUnicode_Type,
+                          &text_o, &scan_o, &PyList_Type, &dates,
+                          &PyList_Type, &paragraphs, &lazy_cb, &frag_cb))
+        return NULL;
+    KBPack *kb = (KBPack *)PyCapsule_GetPointer(kcap, "ner_spark.kbpack");
+    if (!kb) return NULL;
+    AtmPack *atm = (AtmPack *)PyCapsule_GetPointer(acap, "ner_spark.atmpack");
+    if (!atm) return NULL;
+    // bound the fragment cache BETWEEN documents only — mention structs
+    // hold pointers into it for the duration of one call
+    if (kb->frag_cache.size() > (1u << 20)) kb->frag_cache.clear();
+
+    Doc d;
+    d.kb = kb;
+    d.lazy_cb = lazy_cb;
+    d.text = to_u32(text_o);
+    U32 scan_buf;
+    const U32 *stp = &d.text;
+    if (scan_o != Py_None) {
+        scan_buf = to_u32(scan_o);
+        stp = &scan_buf;
+    }
+    const U32 &st = *stp;
+    if (!parse_dates(d, dates)) return NULL;
+    Py_ssize_t npar = PyList_GET_SIZE(paragraphs);
+    d.paragraphs.resize((size_t)npar);
+    for (Py_ssize_t i = 0; i < npar; i++)
+        d.paragraphs[(size_t)i] =
+            PyLong_AsLongLong(PyList_GET_ITEM(paragraphs, i));
+    if (PyErr_Occurred()) return NULL;
+
+    // --- scan (automaton.py:160-215: longest match, non-overlapping,
+    //     lazy separators, strong \n/\r delimiters) ---
+    vector<std::pair<int64_t, int64_t>> spans;
+    tokenize_spans(st, spans);
+    Py_ssize_t nw = (Py_ssize_t)spans.size();
+    std::u32string path, word;
+    std::unordered_map<std::u32string, int32_t> src_intern;
+    Py_ssize_t i = 0;
+    while (i < nw) {
+        word.assign(st.begin() + spans[(size_t)i].first,
+                    st.begin() + spans[(size_t)i].second);
+        if (!atm->first.count(word)) { i++; continue; }
+        path = word;
+        Py_ssize_t j = i;
+        Py_ssize_t best_j = -1;
+        const vector<int64_t> *best_ids = nullptr;
+        for (;;) {
+            auto kit = atm->keys.find(path);
+            if (kit != atm->keys.end()) {
+                best_j = j;
+                best_ids = &kit->second;
+            }
+            if (!atm->prefixes.count(path)) break;
+            if (j + 1 >= nw) break;  // EOF acts as a strong delimiter
+            int64_t gap_s = spans[(size_t)j].second;
+            int64_t gap_e = spans[(size_t)j + 1].first;
+            if (gap_s != gap_e) {
+                bool strong = false;
+                for (int64_t g = gap_s; g < gap_e; g++) {
+                    Py_UCS4 gc = st[(size_t)g];
+                    if (gc == '\n' || gc == '\r') { strong = true; break; }
+                }
+                if (strong) break;
+                path.push_back(' ');
+            }
+            j++;
+            path.append(st.begin() + spans[(size_t)j].first,
+                        st.begin() + spans[(size_t)j].second);
+        }
+        if (best_ids != nullptr) {
+            int64_t start = spans[(size_t)i].first;
+            int64_t end = spans[(size_t)best_j].second;
+            const KBPack::FragInfo *fi =
+                frag_info(kb, st.data() + start, end - start, frag_cb);
+            if (!fi) return NULL;
+            d.men.emplace_back();
+            Mention &m = d.men.back();
+            m.start = (int32_t)start;
+            m.end = (int32_t)end;
+            m.srcp = &fi->source;
+            m.dlp = &fi->dl;
+            // senses: ordered dedup of nonzero ids (resolve.py:111-116)
+            const vector<int64_t> &ids = *best_ids;
+            bool has_sense = false;
+            if (ids.size() == 1) {
+                if (ids[0] != 0) {
+                    m.senses.push_back(ids[0]);
+                    has_sense = true;
+                }
+            } else {
+                for (int64_t v : ids)
+                    if (v != 0) m.senses.push_back(v);
+                ordered_dedup(m.senses);
+                has_sense = !m.senses.empty();
+            }
+            m.flags = fi->flags;
+            if (!has_sense && fi->is_nat_form) m.flags |= FL_IS_NAT;
+            m.is_nationality = (m.flags & FL_IS_NAT) != 0;
+            if (fi->pms != nullptr) m.pms = *fi->pms;
+            static std::u32string sk;
+            sk.assign(fi->source.begin(), fi->source.end());
+            auto si = src_intern.emplace(sk, (int32_t)src_intern.size());
+            m.source_id = si.first->second;
+            i = best_j + 1;  // consume matched words
+        } else {
+            i++;
+        }
+    }
+    return run_pipeline(d);
+}
+
+// ---------------------------------------------------------------------------
 // module
 // ---------------------------------------------------------------------------
 
@@ -1630,6 +1985,11 @@ static PyMethodDef Methods[] = {
     {"resolve_doc", resolve_doc, METH_VARARGS,
      "resolve_doc(pack, text, clean, matches, dates, paragraphs, pnouns)"
      " -> list[tuple]"},
+    {"build_atm", build_atm, METH_VARARGS,
+     "build_atm(keys, prefixes, first) -> capsule"},
+    {"scan_resolve_doc", scan_resolve_doc, METH_VARARGS,
+     "scan_resolve_doc(kbpack, atmpack, text, scan_text, dates, paragraphs,"
+     " lazy_cb, frag_cb) -> list[tuple]"},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef moduledef = {

@@ -237,6 +237,12 @@ def _build_pack(kb):
         "verbs": _EN_VERBS,
         "there_ctx": _EN_THERE_CTX,
         "empty_sid": empty_sid,
+        # fused-scan tables (scan_resolve_doc)
+        "name_dict": [(k, tuple(sorted(v)))
+                      for k, v in kb.name_dict.items()],
+        "nat_forms": sorted(kb.nationality_forms),
+        "pron_keys": list(_PRON_MASK),
+        "pron_masks": list(_PRON_MASK.values()),
     }
     return ck.build_pack(args)
 
@@ -248,6 +254,18 @@ def _pack_for(kb):
     if pack is None:
         pack = _build_pack(kb)
         kb.__dict__["_ck_pack_en"] = pack
+    return pack
+
+
+def _atm_pack_for(atm):
+    """One C automaton pack per GazetteerAutomaton per process."""
+    pack = atm.__dict__.get("_ck_atm_pack")
+    if pack is None:
+        ck = _load()
+        pack = ck.build_atm(
+            [(k, tuple(ids)) for k, ids in atm.keys.items()],
+            list(atm.prefixes), list(atm.first))
+        atm.__dict__["_ck_atm_pack"] = pack
     return pack
 
 
@@ -352,3 +370,73 @@ def try_resolve_document(text, matches, kb, list_titles, find_names, mode,
                     "text": txt, "sense": sense, "iso": iso,
                     "confidence": conf})
     return out
+
+
+def _frag_helper(fragment):
+    """Python side of the fragment pre-pass — called once per distinct
+    non-ASCII / NCR fragment (the C kernel handles the ASCII fast path)."""
+    source = fragment if "&#" not in fragment else ncr2unicode(fragment)
+    dl = _deaccent_lower(source)
+    sl = source.lower()
+    flags = _PRON_MASK.get(sl, 0)
+    if sl.startswith("the "):
+        flags |= 8
+    if source.startswith("The "):
+        flags |= 16
+    if source == "There":
+        flags |= 32
+    return (source, dl, flags)
+
+
+def _dates_for(text, split_interval):
+    dates = []
+    for dm in find_dates(text, split_interval=split_interval):
+        if dm.iso_to is not None:
+            iso_out = f"{dm.iso.iso()} -- {dm.iso_to.iso()}"
+            swz_to = dm.iso_to.show_without_zeros()
+            is_interval = 1
+        else:
+            iso_out = dm.iso.iso()
+            swz_to = None
+            is_interval = 0
+        dates.append((dm.start, dm.end, dm.source, iso_out, dm.confidence,
+                      is_interval, dm.iso.show_without_zeros(), swz_to))
+    return dates
+
+
+def try_scan_resolve(kb, atm, text, scan_text=None,
+                     list_titles=frozenset(), find_names=False,
+                     mode="default", lang=None, split_interval=True,
+                     as_tuples=False):
+    """Fused scan+resolve in C.  Returns rows, or None when the kernel does
+    not cover this configuration (caller runs atm.scan + resolve_document)."""
+    if FORCE_DISABLE or mode != "default" or find_names \
+            or getattr(lang, "code", None) != "en":
+        return None
+    ck = _load()
+    if ck is None:
+        return None
+    pack = _pack_for(kb)
+    apack = _atm_pack_for(atm)
+    dates = _dates_for(text, split_interval)
+    paragraphs = offsets_of_paragraphs(text)
+
+    def lazy():
+        # clean text + proper-noun spans, only when the overlap filter runs
+        clean = remove_accent_unicode(text)
+        pnouns = find_proper_nouns(clean, list_titles,
+                                   lang.proper_nouns_preps)
+        return (None if clean is text else clean, pnouns)
+
+    try:
+        rows = ck.scan_resolve_doc(
+            pack, apack, text,
+            None if scan_text is None or scan_text is text else scan_text,
+            dates, paragraphs, lazy, _frag_helper)
+    except ck.Fallback:
+        return None
+    if as_tuples:
+        return rows
+    return [{"start": s, "end": e, "par": p, "kind": k, "text": t,
+             "sense": sn, "iso": iso, "confidence": c}
+            for s, e, p, k, t, sn, iso, c in rows]

@@ -17,6 +17,38 @@ from .resolve import resolve_document
 from .textnorm import remove_accent, sanitize
 
 
+def scan_and_resolve(
+    kb: KBBundle,
+    automaton: GazetteerAutomaton,
+    text: str,
+    scan_text: "str | None" = None,
+    list_titles: frozenset[str] = frozenset(),
+    find_names: bool = False,
+    mode: str = "default",
+    lang: LangModule = EN,
+    split_interval: bool = True,
+    as_tuples: bool = False,
+) -> list:
+    """Scan + resolve one (sanitized) document — the pipeline's per-row hot
+    call.  Dispatches to the fused C kernel (scan, pre-pass and resolution
+    in one native pass) when it covers the configuration; otherwise runs
+    ``automaton.scan`` + :func:`resolve_document` in Python — observably
+    identical by the ckernel differential suite."""
+    from . import ckernel
+
+    rows = ckernel.try_scan_resolve(
+        kb, automaton, text, scan_text, list_titles, find_names, mode,
+        lang, split_interval, as_tuples)
+    if rows is not None:
+        return rows
+    matches = automaton.scan(scan_text if scan_text is not None else text)
+    return resolve_document(
+        text, [(m.ids, m.start, m.end, m.fragment) for m in matches], kb,
+        list_titles, find_names=find_names, mode=mode, lang=lang,
+        split_interval=split_interval, as_tuples=as_tuples,
+    )
+
+
 def recognize(
     kb: KBBundle,
     automaton: GazetteerAutomaton,
@@ -36,9 +68,8 @@ def recognize(
     # -d lowers only the SCAN input (ner.py:473-476); resolution and
     # output keep the original-case string
     scan_text = text.lower() if lowercase else text
-    matches = automaton.scan(scan_text)
-    return resolve_document(
-        text, [(m.ids, m.start, m.end, m.fragment) for m in matches], kb,
+    return scan_and_resolve(
+        kb, automaton, text, scan_text if lowercase else None,
         list_titles, find_names=find_names, mode=mode, lang=lang,
     )
 

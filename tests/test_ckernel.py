@@ -39,6 +39,9 @@ def env():
 
 
 def both(bundle, atm, lang, text, as_tuples=True, split_interval=True):
+    """(python, C-resolve-only, C-fused) — callers assert all equal."""
+    from ner_spark.semantics.recognize import scan_and_resolve
+
     matches = [(m.ids, m.start, m.end, m.fragment) for m in atm.scan(text)]
     try:
         ckernel.FORCE_DISABLE = True
@@ -49,6 +52,10 @@ def both(bundle, atm, lang, text, as_tuples=True, split_interval=True):
         ckernel.FORCE_DISABLE = False
     ck = resolve_document(text, matches, bundle, lang=lang,
                           as_tuples=as_tuples, split_interval=split_interval)
+    fused = scan_and_resolve(bundle, atm, text, lang=lang,
+                             as_tuples=as_tuples,
+                             split_interval=split_interval)
+    assert ck == fused, "C resolve-only vs C fused disagree"
     return py, ck
 
 

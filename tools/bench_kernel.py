@@ -58,21 +58,22 @@ def build_fixtures(target_chars: int):
 
 
 def run(bundle, atm, texts, resolve: bool) -> tuple[float, int, int]:
+    """Full arm goes through scan_and_resolve — the pipeline's per-row hot
+    call (fused C kernel when available, Python otherwise; toggle with
+    ckernel.FORCE_DISABLE for interleaved A/B)."""
     from ner_spark.semantics.lang import get_lang
-    from ner_spark.semantics.resolve import resolve_document
+    from ner_spark.semantics.recognize import scan_and_resolve
 
     lang = get_lang("en")
     n_chars = sum(len(t) for t in texts)
     n_out = 0
     t0 = time.perf_counter()
     for text in texts:
-        ms = atm.scan(text)
         if resolve:
-            matches = [(m.ids, m.start, m.end, m.fragment) for m in ms]
-            n_out += len(resolve_document(text, matches, bundle, lang=lang,
+            n_out += len(scan_and_resolve(bundle, atm, text, lang=lang,
                                           as_tuples=True))
         else:
-            n_out += len(ms)
+            n_out += len(atm.scan(text))
     return time.perf_counter() - t0, n_chars, n_out
 
 
