@@ -51,19 +51,27 @@ def sanitized_pages(pages: DataFrame, url_col: str = "url",
 
 
 def scan_mentions(pages: DataFrame, artifacts: KBArtifacts,
-                  url_col: str = "url", text_col: str = "text") -> DataFrame:
+                  url_col: str = "url", text_col: str = "text",
+                  byte_offsets: bool = False) -> DataFrame:
     """Raw gazetteer matches only (stage M2) — no resolution.  Useful for
     debugging and for relational-filter queries; the production path is
-    :func:`extract_mentions` which fuses scan+resolve in one pass."""
+    :func:`extract_mentions` which fuses scan+resolve in one pass.
+    ``byte_offsets`` mirrors figa ``-b`` (figa/src/main.cpp:53,108-110):
+    start/end become offsets into the UTF-8 byte stream."""
     src = sanitized_pages(pages, url_col, text_col)
     atm_bc = artifacts.automaton_bc
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ner_spark.semantics.automaton import byte_offset_matches
+
         atm = atm_bc.value
         for pdf in batches:
             rows = []
             for url, text in zip(pdf["url"], pdf["text"]):
-                for m in atm.scan(text):
+                ms = atm.scan(text)
+                if byte_offsets:
+                    ms = byte_offset_matches(text, ms)
+                for m in ms:
                     rows.append((url, m.start, m.end, m.fragment, list(m.ids)))
             yield pd.DataFrame(
                 rows, columns=["url", "start", "end", "fragment", "ids"])

@@ -228,3 +228,21 @@ class GazetteerAutomaton:
                 if k.startswith(prefix) and k != prefix]
         hits.sort(key=lambda k: k.encode())
         return [(k, self.keys[k]) for k in hits[:m]]
+
+
+def byte_offset_matches(text: str, matches: "list[Match]") -> "list[Match]":
+    """figa ``-b`` twin (figa/src/main.cpp:53,108-110 routes get_pos through
+    a byte counter, figa_cedar.tpp:961-970): re-express char-offset matches
+    as BYTE offsets into the UTF-8 encoding of ``text``.  Matches are
+    non-overlapping and start-ascending (scan invariant), so one forward
+    walk converts all offsets without re-encoding prefixes."""
+    out: list[Match] = []
+    pos_c = 0
+    pos_b = 0
+    for m in matches:
+        pos_b += len(text[pos_c:m.start].encode("utf-8"))
+        blen = len(text[m.start:m.end].encode("utf-8"))
+        out.append(Match(m.ids, pos_b, pos_b + blen, m.fragment))
+        pos_b += blen
+        pos_c = m.end
+    return out

@@ -125,3 +125,20 @@ def test_irregular_whitespace_key_is_unmatchable():
     # scan side collapses delimiter runs, figa_cedar.tpp:986-1003)
     assert [(m.start, m.end) for m in atm.scan("a New  Deal b")] == [(2, 11)]
     assert atm.scan("New Deal")[0].ids == (3,)
+
+
+def test_byte_offset_matches_multibyte():
+    """figa -b semantics: offsets into the UTF-8 byte stream (multi-byte
+    chars shift everything after them; fragments unchanged)."""
+    from ner_spark.semantics.automaton import (GazetteerAutomaton,
+                                               byte_offset_matches)
+
+    atm = GazetteerAutomaton.build([("Žofín", (7,)), ("New York", (1,))])
+    text = "Žofín and New York à Žofín"
+    ms = atm.scan(text)
+    bs = byte_offset_matches(text, ms)
+    assert [(m.start, m.end) for m in ms] == [(0, 5), (10, 18), (21, 26)]
+    # Ž=2B í=2B → "Žofín"=7B; à=2B
+    assert [(m.start, m.end) for m in bs] == [(0, 7), (12, 20), (24, 31)]
+    assert [m.fragment for m in bs] == [m.fragment for m in ms]
+    assert [m.ids for m in bs] == [m.ids for m in ms]

@@ -188,3 +188,84 @@ def test_migrate_automaton_roundtrip(tmp_path):
     for src, dst in zip(chain, chain[1:]):
         mig._write(mig._read(src), dst, "v-test")
     assert mig._read(chain[-1]) == NAMELIST
+
+
+# -- layer 2b: randomized differential fuzz vs the reference scanner --------
+
+def _render_ours(matches) -> str:
+    """Render GazetteerAutomaton matches in figa's KBlookup TSV shape:
+    ``sorted-ids;...\\tstart+1\\tend\\twords``, 1-based inclusive char
+    offsets, stream-wide; 'N' links print as 0, ids ascending.  figa
+    prints the matched WORD PATH joined by single spaces (adjacent-punct
+    separators render as " " too: ``U.S.A`` → ``U . S . A``), so the
+    fragment is re-tokenized the same way — offsets stay original-text."""
+    from ner_spark.semantics.automaton import tokenize
+
+    out = []
+    for m in matches:
+        ids = ";".join(str(i) for i in sorted(set(m.ids)))
+        words = " ".join(w.text for w in tokenize(m.fragment))
+        out.append(f"{ids}\t{m.start + 1}\t{m.end}\t{words}")
+    return "".join(line + "\n" for line in out)
+
+
+def test_fuzz_scan_vs_reference_figa(figa_bin, tmp_path):
+    """Seeded fuzz: random namelists × random corpora through the compiled
+    reference figa AND our automaton (both the Python scan and, when the
+    compiled kernel is importable, its fused C scan via scan_and_resolve's
+    dispatch path is covered by tests/test_ckernel.py) — identical TSV."""
+    import random
+
+    from ner_spark.semantics.automaton import GazetteerAutomaton
+
+    rng = random.Random(20260818)
+    words = ["New", "York", "Praha", "Jan", "Novak", "Fond", "U.S.A",
+             "Žofín", "Dvořák", "al-Idrisi", "O'Neil", "x", "mega-city",
+             "Ltd.", "Čapek", "ünited", "ООН", "東京", "a1", "42nd"]
+    fillers = ["saw", "the", "and", "on", "in", "of", "it", "was", ",",
+               ".", ";", "(", ")", "-", "http://ex.com/a.b", "https:",
+               "1997", "–"]
+    for trial in range(12):
+        # random namelist: 1-3-word keys, random ids incl. the N marker
+        keys = {}
+        for _ in range(rng.randint(3, 14)):
+            k = " ".join(rng.choice(words)
+                         for _ in range(rng.randint(1, 3)))
+            ids = sorted({rng.randint(1, 9) for _ in
+                          range(rng.randint(1, 3))})
+            if rng.random() < 0.3:
+                ids.append(0)
+            keys[k] = ids
+        nl_file = str(tmp_path / f"nl{trial}.tsv")
+        with open(nl_file, "w") as fh:
+            fh.write(_namelist_text(keys))
+        ct = str(tmp_path / f"f{trial}.ct")
+        subprocess.run([figa_bin, "-d", nl_file, "-n", "-w", ct],
+                       check=True, capture_output=True)
+
+        atm = GazetteerAutomaton.build(keys.items())
+        pieces = list(keys) + words + fillers
+        for _ in range(8):
+            n = rng.randint(0, 40)
+            body = []
+            for _ in range(n):
+                body.append(rng.choice(pieces))
+                if rng.random() < 0.08:
+                    body.append("\n")
+            text = " ".join(body) + "\n"
+            theirs = _lookup(figa_bin, ct, text)
+            ms = atm.scan(text)
+            ours = _render_ours(ms)
+            assert theirs == ours, (
+                f"trial {trial}: scan divergence on {text[:80]!r}\n"
+                f"figa: {theirs!r}\nours: {ours!r}")
+            # figa -b: same matches with UTF-8 byte offsets
+            from ner_spark.semantics.automaton import byte_offset_matches
+
+            theirs_b = subprocess.run(
+                [figa_bin, "-p", "-b", "-d", ct], input=text,
+                capture_output=True, text=True, check=True).stdout
+            ours_b = _render_ours(byte_offset_matches(text, ms))
+            assert theirs_b == ours_b, (
+                f"trial {trial}: -b divergence on {text[:80]!r}\n"
+                f"figa: {theirs_b!r}\nours: {ours_b!r}")
