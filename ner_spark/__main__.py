@@ -30,6 +30,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-a", "--all", action="store_true", dest="print_all")
     ap.add_argument("-s", "--score", action="store_true")
     ap.add_argument("-n", "--names", action="store_true")
+    ap.add_argument("--names-strict", action="store_true",
+                    help="apply the strict garbage-name suppressor "
+                         "(process_outputs filter_names intent)")
     ap.add_argument("-l", "--lowercase", action="store_true")
     ap.add_argument("-r", "--remove-accent", action="store_true")
     ap.add_argument("-q", "--lang", default="en", choices=["en", "cs", "sk"])
@@ -44,7 +47,8 @@ def main(argv: list[str] | None = None) -> int:
         # sanitize → -r plain deaccent → scan-only -d lower pipeline
         # (recognize.py), so the CLI cannot diverge from the library
         for line in rec.recognize_lines(text, mode=doc_mode,
-                                        find_names=find_names):
+                                        find_names=find_names,
+                                        names_strict=args.names_strict):
             print(line)
 
     if args.daemon:

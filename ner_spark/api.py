@@ -60,13 +60,15 @@ class LocalRecognizer:
             kb_rows, lowercase, deaccent, uri_mode, stop_list, lang)
 
     def recognize(self, text: str, mode: str = "default",
-                  find_names: bool = False) -> list[dict]:
+                  find_names: bool = False,
+                  names_strict: bool = False) -> list[dict]:
         from ner_spark.semantics.lang import get_lang
 
         rows = recognize(self.bundle, self.automaton, text,
                          lowercase=self.lowercase, deaccent=self.deaccent,
                          find_names=find_names, mode=mode,
-                         lang=get_lang(self.lang))
+                         lang=get_lang(self.lang),
+                         names_strict=names_strict)
         return rows
 
     def recognize_lines(self, text: str, **kw) -> list[str]:

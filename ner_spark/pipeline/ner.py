@@ -82,7 +82,8 @@ def scan_mentions(pages: DataFrame, artifacts: KBArtifacts,
 def extract_mentions(pages: DataFrame, artifacts: KBArtifacts,
                      url_col: str = "url", text_col: str = "text",
                      lowercase: bool = False, deaccent: bool = False,
-                     find_names: bool = False, lang: str = "en") -> DataFrame:
+                     find_names: bool = False, lang: str = "en",
+                     names_strict: bool = False) -> DataFrame:
     """pages → final mention rows (scan + stages b-k fused, zero-shuffle).
 
     ``lowercase``/``deaccent`` mirror the reference's ``-d``/``-r`` modes
@@ -125,7 +126,8 @@ def extract_mentions(pages: DataFrame, artifacts: KBArtifacts,
                 # (semantics/recognize.scan_and_resolve)
                 for r in scan_and_resolve(bundle, atm, text, scan_text,
                                           find_names=find_names,
-                                          lang=lang_mod, as_tuples=True):
+                                          lang=lang_mod, as_tuples=True,
+                                          names_strict=names_strict):
                     rows.append((url,) + r)
             yield pd.DataFrame(rows, columns=cols)
 

@@ -28,6 +28,7 @@ def scan_and_resolve(
     lang: LangModule = EN,
     split_interval: bool = True,
     as_tuples: bool = False,
+    names_strict: bool = False,
 ) -> list:
     """Scan + resolve one (sanitized) document — the pipeline's per-row hot
     call.  Dispatches to the fused C kernel (scan, pre-pass and resolution
@@ -46,6 +47,7 @@ def scan_and_resolve(
         text, [(m.ids, m.start, m.end, m.fragment) for m in matches], kb,
         list_titles, find_names=find_names, mode=mode, lang=lang,
         split_interval=split_interval, as_tuples=as_tuples,
+        names_strict=names_strict,
     )
 
 
@@ -59,6 +61,7 @@ def recognize(
     find_names: bool = False,
     mode: str = "default",
     lang: LangModule = EN,
+    names_strict: bool = False,
 ) -> list[dict]:
     """Returns final mention rows (see resolve_document) for one document.
     ``mode``: default / all (``-a``) / score (``-s``)."""
@@ -71,6 +74,7 @@ def recognize(
     return scan_and_resolve(
         kb, automaton, text, scan_text if lowercase else None,
         list_titles, find_names=find_names, mode=mode, lang=lang,
+        names_strict=names_strict,
     )
 
 

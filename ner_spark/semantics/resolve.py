@@ -1207,7 +1207,8 @@ def _gazetteer_name_spans(text: str, name_dict: dict) -> list[tuple[int, int]]:
 
 
 def _name_candidates(text: str, list_titles: set[str],
-                     kb: KBBundle | None = None) -> list[Mention]:
+                     kb: KBBundle | None = None,
+                     strict: bool = False) -> list[Mention]:
     deacc = remove_accent_unicode(text)
     spans = find_proper_nouns(deacc, list_titles)
     if kb is not None and kb.name_dict:
@@ -1227,12 +1228,18 @@ def _name_candidates(text: str, list_titles: set[str],
         m = Mention(s, e, frag, [])
         m.is_name = True
         out.append(m)
-    return out
+    # process_outputs.py analyze() post-filter chain (intent-port, see
+    # semantics/names_filter.py; ``strict`` adds the shipped-disabled
+    # garbage suppressor with KB-derived lists)
+    from .names_filter import postprocess_names
+
+    return postprocess_names(out, text, kb, strict=strict)
 
 
 def add_unknown_names(entities_and_dates: list, text: str,
                       list_titles: set[str] = frozenset(),
-                      kb: KBBundle | None = None) -> list[Mention]:
+                      kb: KBBundle | None = None,
+                      strict: bool = False) -> list[Mention]:
     """ner.py:211-283 merge semantics: same-surface names share a pseudo
     sense set (negative ids); candidates equal to / contained in an existing
     entity are dropped; candidates containing an entity absorb its senses
@@ -1240,7 +1247,7 @@ def add_unknown_names(entities_and_dates: list, text: str,
     With ``kb`` the candidate set also draws on the KB-derived name
     gazetteer (_gazetteer_name_spans); the merge semantics above apply
     to both sources identically."""
-    name_entities = _name_candidates(text, list_titles, kb)
+    name_entities = _name_candidates(text, list_titles, kb, strict=strict)
     for i, ne in enumerate(name_entities):
         assigned = None
         for j in range(i):
@@ -1365,6 +1372,7 @@ def resolve_document(
     lang: LangModule = EN,
     split_interval: bool = True,
     as_tuples: bool = False,
+    names_strict: bool = False,
 ) -> list:
     """Run stages b-k on one (sanitized) document.
 
@@ -1474,7 +1482,8 @@ def resolve_document(
 
     if find_names:  # -n mode (ner.py:696-697)
         new_names = add_unknown_names(entities_and_dates, text,
-                                       list_titles, kb)
+                                       list_titles, kb,
+                                       strict=names_strict)
         adjust_coreferences(entities_and_dates, new_names, kb, register, lang)
 
     # final sense filter (ner.py:700-709): default keeps resolved mentions;

@@ -38,6 +38,9 @@ def test_reference_lines_match_golden():
 def test_golden_covers_all_modes_and_docs():
     with open(GOLDEN) as fh:
         headers = [ln for ln in fh if ln.startswith("###")]
-    assert len(headers) == 160  # 40 docs x 4 modes
-    for mode in ("default", "all", "score", "names"):
+    # 40 docs x 4 modes + 2 handcrafted -n post-filter docs x 2 strictness
+    assert len(headers) == 164
+    for mode in ("default", "all", "score"):
         assert sum(f"mode={mode}" in h for h in headers) == 40
+    assert sum("mode=names" in h for h in headers) == 44
+    assert sum("strict=True" in h for h in headers) == 2

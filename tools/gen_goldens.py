@@ -45,6 +45,36 @@ def main() -> None:
         for line in render_reference_lines(rows):
             print(line)
 
+    # -n post-filter goldens (names_filter.py intent-port): handcrafted
+    # docs where each process_outputs stage fires — replace_parts prefix
+    # strip, mark_substrings part-subset drop, and (strict) the notfirst /
+    # first-name / nationality / all-initials suppressors
+    person = next(r["name"] for r in kb_rows
+                  if "person" in (r.get("type") or ""))
+    first = person.split()[0]
+    nat = "FIXME"
+    for r in kb_rows:
+        if "nationality" in (r.get("type") or ""):
+            nat = r["name"]
+            break
+    # NB the proper-noun regex skips sentence-initial spans — candidates
+    # must sit mid-sentence to be discovered at all (ner.py:161-174)
+    # ... and a date anchor keeps entities_and_dates non-empty (the
+    # reference silently drops names into an empty list, ner.py:271-283)
+    name_docs = [
+        "Back in 1987 we heard President Gorbi Halvessen speak while "
+        "young Gorbi Halvessen Jr listened and old Gorbi Halvessen waved.",
+        f"It rained On June in 1990 and later Mellon Vattic sang while "
+        f"the {nat} Pride marched and then {first} Quorvik arrived.",
+    ]
+    for i, doc in enumerate(name_docs):
+        for strict in (False, True):
+            rows = recognize(bundle, atm, doc, find_names=True,
+                             names_strict=strict)
+            print(f"### url=namedoc{i} mode=names strict={strict}")
+            for line in render_reference_lines(rows):
+                print(line)
+
 
 if __name__ == "__main__":
     main()
