@@ -790,6 +790,35 @@ def q_dedup_jaccard(spark, sf_dir):
                              block_col="source", threshold=0.5)
 
 
+_REALISTIC_DOCS = None  # generated lazily, shared by query + oracle
+
+
+def _realistic_docs_path() -> str:
+    """The round-5 realistic near-dup fixture (1-10% near-dup rate — see
+    fixtures/gen.gen_realistic_docs): one deterministic parquet file both
+    Spark and the DuckDB oracle read by absolute path."""
+    global _REALISTIC_DOCS
+    if _REALISTIC_DOCS is None:
+        import os
+
+        from ner_spark.fixtures.gen import ensure_realistic_docs_parquet
+
+        _REALISTIC_DOCS = ensure_realistic_docs_parquet(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "build", "fixtures", "docs_realistic.parquet"))
+    return _REALISTIC_DOCS
+
+
+def q_dedup_lsh_realistic(spark, sf_dir):
+    """dedup_jaccard's exact LSH-candidates-then-verify device on the
+    REALISTIC near-dup fixture (the driver documents table is
+    pathologically self-similar, so candidate pruning cannot show its win
+    there — tools/bench_dedup.py records the crossover; this row pins
+    result-exactness on the fixture where LSH matters)."""
+    return lsh_jaccard_pairs(spark.read.parquet(_realistic_docs_path()),
+                             block_col="source", threshold=0.5)
+
+
 def q_dedup_minhash(spark, sf_dir):
     """Banded MinHash-LSH candidates + signature-agreement verify.
     Exact-oracle-backed since late r4: the seeded permutation constants
@@ -974,7 +1003,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``customers_without_orders`` — thrice-green, parked one round) plus
     the four rows parked since r3 now at the two-round limit
     (``salted_count``, ``revenue_rollup``, ``tpch_q5_like``,
-    ``customers_with_orders``).  OUT go seven rows each driver-green in
+    ``customers_with_orders``), plus the new ``dedup_lsh_realistic``
+    (never driver-checked — the LSH exactness device on the realistic
+    near-dup fixture); to make room ``revenue_cube`` parks too
+    (thrice-green r2-r4; CUBE's grouping-sets device stays in-window via
+    priority_pivot's pivot and tpch_q5_like's join-agg).  OUT go seven rows each driver-green in
     ≥2 rounds including r4, devices still in-window: ``tpch_q10_like`` /
     ``revenue_by_nation`` (join-agg via revenue_cube + tpch_q5_like),
     ``windowed_event_counts`` (windowing via event_sessions),
@@ -1064,7 +1097,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "priority_pivot": q_priority_pivot,
         "sql_udf_sanitize": q_sql_udf_sanitize,
-        "revenue_cube": q_revenue_cube,
         "common_part_sizes": q_common_part_sizes,
         "event_sessions": q_event_sessions,
         # -- upgraded rows-only → exact oracle (r4 late): MinHash replay
@@ -1074,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_lsh_realistic": q_dedup_lsh_realistic,
         "pack_sequences": q_pack_sequences,
         "source_quota": q_source_quota,
         "embed_knn": q_embed_knn,
@@ -1086,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- oracle-backed, parked outside the driver's 50-entry window
         # this round (rotation policy in the docstring above; every row
         # below is driver-green in ≥2 prior rounds) ----
+        "revenue_cube": q_revenue_cube,
         "tpch_q10_like": q_tpch_q10_like,
         "revenue_by_nation": q_revenue_by_nation,
         "windowed_event_counts": q_windowed_event_counts,
@@ -1974,6 +2008,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, h.digest, group_size
             FROM h JOIN s ON h.digest = s.digest WHERE group_size > 1
         """,
+        "dedup_lsh_realistic": """
+            WITH t AS (SELECT doc_id, source,
+                              list_distinct(list_filter(string_split(text,' '),
+                                                        x -> x <> '')) AS toks
+                       FROM read_parquet('{RDOCS}'))
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+                         6) AS jaccard
+            FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.5
+        """.replace("{RDOCS}", _realistic_docs_path()),
         "dedup_jaccard": """
             WITH t AS (SELECT doc_id, source,
                               list_distinct(list_filter(string_split(text,' '),

@@ -59,6 +59,8 @@ HEADLINE = [
     # late-round-4 additions
     "url_canonical", "dedup_substring", "lm_perplexity", "lm_bigram",
     "kgc_triple_delta",
+    # round-5 additions
+    "dedup_lsh_realistic",
 ]
 
 

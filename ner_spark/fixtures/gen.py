@@ -262,3 +262,67 @@ def gen_pages_df(spark, kb_rows: list[dict], n_pages: int, seed: int = 42,
                           F.lit("</body></html>")), "utf-8").alias("html"),
         "text",
         F.lit("en").alias("lang"))
+
+
+# ---------------------------------------------------------------------------
+# realistic near-duplicate document fixture (round-5 dedup crossover study)
+# ---------------------------------------------------------------------------
+
+def gen_realistic_docs(n_docs: int = 2400, seed: int = 20260818,
+                       n_sources: int = 4, dup_rate: float = 0.06,
+                       vocab_size: int = 8000,
+                       doc_len: tuple[int, int] = (80, 200)) -> list[dict]:
+    """Web-realistic near-dup corpus: unlike the driver's ``documents``
+    table (pathologically self-similar — 71% of within-block pairs pass
+    Jaccard 0.5, so LSH candidate pruning cannot win there by
+    construction), most docs here are pairwise dissimilar (shared-vocab
+    Jaccard ≪ 0.1) and ~``dup_rate`` of them are true near-duplicates of
+    an earlier doc in the same source (5-25% token substitutions →
+    Jaccard ~0.6-0.9) — the 1-10% near-dup rate real crawls show.
+    Deterministic in (seed, args); no wall clock."""
+    rng = random.Random(seed)
+    vocab = [f"w{i:05d}" for i in range(vocab_size)]
+    common = vocab[:200]  # Zipf head shared across docs
+    docs: list[dict] = []
+    by_source: dict[str, list[int]] = {}
+    for i in range(n_docs):
+        source = f"web{i % n_sources}"
+        prior = by_source.setdefault(source, [])
+        if prior and rng.random() < dup_rate:
+            base = docs[rng.choice(prior)]
+            toks = base["text"].split()
+            n_sub = max(1, int(len(toks) * rng.uniform(0.05, 0.25)))
+            for _ in range(n_sub):
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            text = " ".join(toks)
+        else:
+            n = rng.randint(*doc_len)
+            toks = [rng.choice(common) if rng.random() < 0.3
+                    else rng.choice(vocab) for _ in range(n)]
+            text = " ".join(toks)
+        docs.append({"doc_id": i, "source": source, "text": text})
+        prior.append(i)
+    return docs
+
+
+def ensure_realistic_docs_parquet(path: str, **kw) -> str:
+    """Write the realistic corpus as ONE deterministic parquet file (plain
+    pyarrow — no Spark session needed, so both the Spark query and the
+    DuckDB oracle can read the identical table from ``path``)."""
+    import os
+
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        docs = gen_realistic_docs(**kw)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tbl = pa.table({
+            "doc_id": pa.array([d["doc_id"] for d in docs], pa.int64()),
+            "source": pa.array([d["source"] for d in docs], pa.string()),
+            "text": pa.array([d["text"] for d in docs], pa.string()),
+        })
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return path

@@ -79,6 +79,7 @@ _REDUNDANT_ORACLE_OK = _SAME_AS_KNN | {
     "quality_filter", "kgc_mention_counts",
     # parked r5 (each driver-green in ≥2 rounds incl. r4; devices still
     # in-window — see the queries() docstring's round-5 rotation note):
+    "revenue_cube",
     "tpch_q10_like", "revenue_by_nation", "windowed_event_counts",
     "distinct_users_exact", "click_only_users", "text_token_stats",
     "event_props_json"}
