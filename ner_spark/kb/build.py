@@ -18,6 +18,7 @@ other.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -287,6 +288,70 @@ def compile_kb(spark: SparkSession, rows: list[dict],
         automaton_bc=sc.broadcast(automaton),
         n_entities=bundle.n_rows(),
         n_keys=automaton.n_keys,
+    )
+
+
+def save_kb_artifact(art: KBArtifacts, path: str,
+                     kb_version: str = "") -> None:
+    """Persist a compiled KB as a reusable artifact directory — the
+    production deployment form: the reference never recompiles its KB per
+    job, it ships the prebuilt ``.dct``/``.ct`` automaton + KB.tsv and
+    figa/SharedKB load them (ner.py:432-443, ner/kb_daemon.py:30-61).
+    Layout::
+
+        <path>/kb.parquet/       scored relational KB (kb_df)
+        <path>/bundle.pkl        KBBundle (columnar broadcast payload)
+        <path>/automaton.pkl     GazetteerAutomaton
+        <path>/MANIFEST.json     counts + version handshake key
+
+    The version key plays the role of the reference's ETag/VERSION
+    handshake (ner.py:756-810): ``load_kb_artifact(..., kb_version=...)``
+    fails fast on a stale artifact instead of silently serving old links.
+    """
+    import json as _json
+    import pickle
+
+    os.makedirs(path, exist_ok=True)
+    art.kb_df.write.mode("overwrite").parquet(os.path.join(path, "kb.parquet"))
+    with open(os.path.join(path, "bundle.pkl"), "wb") as fh:
+        pickle.dump(art.bundle, fh, protocol=pickle.HIGHEST_PROTOCOL)
+    with open(os.path.join(path, "automaton.pkl"), "wb") as fh:
+        pickle.dump(art.automaton, fh, protocol=pickle.HIGHEST_PROTOCOL)
+    with open(os.path.join(path, "MANIFEST.json"), "w") as fh:
+        _json.dump({"n_entities": art.n_entities, "n_keys": art.n_keys,
+                    "kb_version": kb_version}, fh)
+
+
+def load_kb_artifact(spark: SparkSession, path: str,
+                     kb_version: str | None = None) -> KBArtifacts:
+    """Load a prebuilt KB artifact (see :func:`save_kb_artifact`) and
+    broadcast it — skips the entire driver-side compile.  At cluster scale
+    the artifact lives on shared storage and every job (and every re-run
+    of a resumable job) starts from it; the KB compile happens once per KB
+    snapshot, not once per job."""
+    import json as _json
+    import pickle
+
+    with open(os.path.join(path, "MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    if kb_version is not None and manifest.get("kb_version") != kb_version:
+        raise ValueError(
+            f"KB artifact version mismatch: artifact "
+            f"{manifest.get('kb_version')!r} != requested {kb_version!r} "
+            f"(stale artifact — recompile; ner.py:756-810 handshake)")
+    with open(os.path.join(path, "bundle.pkl"), "rb") as fh:
+        bundle = pickle.load(fh)
+    with open(os.path.join(path, "automaton.pkl"), "rb") as fh:
+        automaton = pickle.load(fh)
+    kb_df = spark.read.parquet(os.path.join(path, "kb.parquet")).cache()
+    kb_df.count()
+    sc = spark.sparkContext
+    return KBArtifacts(
+        kb_df=kb_df,
+        bundle_bc=sc.broadcast(bundle),
+        automaton_bc=sc.broadcast(automaton),
+        n_entities=manifest["n_entities"],
+        n_keys=manifest["n_keys"],
     )
 
 

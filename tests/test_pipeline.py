@@ -209,3 +209,35 @@ def test_apply_delta_roundtrip(spark):
     want = sorted((r.subj, r.pred, r.obj, r.weight)
                   for r in new.collect())
     assert roundtrip == want
+
+
+def test_kb_artifact_save_load_roundtrip(spark, kb_rows, pages_df,
+                                         artifacts, tmp_path):
+    """save_kb_artifact → load_kb_artifact reproduces the compiled KB
+    exactly: same mention set, same scored-KB rows, version handshake
+    enforced (the production prebuilt-.dct deployment form,
+    ner.py:432-443 / 756-810)."""
+    import pytest as _pytest
+
+    from ner_spark.kb.build import load_kb_artifact, save_kb_artifact
+    from ner_spark.pipeline.ner import extract_mentions
+
+    path = str(tmp_path / "kb_art")
+    save_kb_artifact(artifacts, path, kb_version="v1")
+    loaded = load_kb_artifact(spark, path, kb_version="v1")
+
+    assert loaded.n_entities == artifacts.n_entities
+    assert loaded.n_keys == artifacts.n_keys
+    # scored KB identical row-for-row
+    cols = sorted(artifacts.kb_df.columns)
+    want = sorted(map(tuple, artifacts.kb_df.select(*cols).collect()))
+    got = sorted(map(tuple, loaded.kb_df.select(*cols).collect()))
+    assert got == want
+    # mention extraction identical through the loaded artifact
+    key = lambda r: (r.url, r.start, r.end, r.kind, r.sense, r.iso)  # noqa: E731
+    m_want = sorted(map(key, extract_mentions(pages_df, artifacts).collect()))
+    m_got = sorted(map(key, extract_mentions(pages_df, loaded).collect()))
+    assert m_got == m_want and len(m_got) > 200
+    # stale-version handshake fails fast
+    with _pytest.raises(ValueError, match="version mismatch"):
+        load_kb_artifact(spark, path, kb_version="v2")

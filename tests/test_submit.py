@@ -57,6 +57,7 @@ def test_spark_submit_packaged_zip(tmp_path, sf_dir, spark):
         "--conf", "spark.sql.shuffle.partitions=4",
         "--py-files", zip_path,
         str(job), "--pages", pages_dir, "--out", out_dir, "--buckets", "4",
+        "--kb-artifact", str(tmp_path / "kb_art"),
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=420,
                           cwd=str(tmp_path), env=env)
@@ -65,6 +66,7 @@ def test_spark_submit_packaged_zip(tmp_path, sf_dir, spark):
     assert summary["n_triples"] > 0
     assert summary["buckets_completed"] == 4
     assert summary["buckets_resumed"] == 0
+    assert summary["kb"] == "compiled"      # first run compiles + saves
 
     # resume contract: same --out skips every completed bucket
     proc2 = subprocess.run(cmd, capture_output=True, text=True, timeout=420,
@@ -73,3 +75,4 @@ def test_spark_submit_packaged_zip(tmp_path, sf_dir, spark):
     summary2 = json.loads(proc2.stdout.strip().splitlines()[-1])
     assert summary2["n_triples"] == summary["n_triples"]
     assert summary2["buckets_resumed"] == 4
+    assert summary2["kb"] == "artifact"     # re-run loads the prebuilt KB

@@ -42,13 +42,18 @@ def main() -> None:
                          "create_cedar.sh:369)")
     ap.add_argument("--materialize-mentions", action="store_true",
                     help="checkpoint mentions (compute-level resume)")
+    ap.add_argument("--kb-artifact", default=None, metavar="DIR",
+                    help="prebuilt-KB artifact dir (the production form: "
+                         "the reference ships a compiled .dct and never "
+                         "recompiles per job). Loads DIR if it exists, "
+                         "else compiles once and saves it there.")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     from ner_spark.io.catalog import resumable_write
     from ner_spark.io.kbtsv import read_kb_tsv
-    from ner_spark.kb.build import compile_kb
+    from ner_spark.kb.build import compile_kb, load_kb_artifact, save_kb_artifact
     from ner_spark.pipeline.ner import extract_mentions
     from ner_spark.pipeline.triples import build_triples
 
@@ -60,22 +65,31 @@ def main() -> None:
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(spark.sparkContext.defaultParallelism))
 
-    if args.kb:
-        with open(args.kb) as fh:
-            _, _, kb_rows = read_kb_tsv(fh)
-    else:
-        from ner_spark.fixtures.gen import gen_kb_rows
-        kb_rows = gen_kb_rows()
+    art_dir = args.kb_artifact
+    have_artifact = art_dir and os.path.exists(
+        os.path.join(art_dir, "MANIFEST.json"))
 
-    tagged = None
-    if args.tagged_inflections:
-        with open(args.tagged_inflections) as fh:
-            tagged = fh.read().splitlines()
+    kb_rows = tagged = None
+    if not have_artifact:
+        if args.kb:
+            with open(args.kb) as fh:
+                _, _, kb_rows = read_kb_tsv(fh)
+        else:
+            from ner_spark.fixtures.gen import gen_kb_rows
+            kb_rows = gen_kb_rows()
+        if args.tagged_inflections:
+            with open(args.tagged_inflections) as fh:
+                tagged = fh.read().splitlines()
 
     t0 = time.time()
-    art = compile_kb(spark, kb_rows, lowercase=args.lowercase,
-                     deaccent=args.deaccent, lang=args.lang,
-                     tagged_inflections=tagged)
+    if have_artifact:
+        art = load_kb_artifact(spark, art_dir)
+    else:
+        art = compile_kb(spark, kb_rows, lowercase=args.lowercase,
+                         deaccent=args.deaccent, lang=args.lang,
+                         tagged_inflections=tagged)
+        if art_dir:
+            save_kb_artifact(art, art_dir)
     pages = spark.read.parquet(args.pages)
     kw = dict(url_col=args.url_col, text_col=args.text_col,
               lowercase=args.lowercase, deaccent=args.deaccent,
@@ -97,6 +111,7 @@ def main() -> None:
         "triples_per_sec": round(n / dt, 1),
         "buckets_completed": len(manifest["completed"]),
         "buckets_resumed": len(manifest["skipped_resume"]),
+        "kb": "artifact" if have_artifact else "compiled",
         "out": args.out,
     }))
     spark.stop()
