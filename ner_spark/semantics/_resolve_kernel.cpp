@@ -1921,12 +1921,11 @@ static PyObject *scan_resolve_doc(PyObject *self, PyObject *args) {
             int64_t gap_s = spans[(size_t)j].second;
             int64_t gap_e = spans[(size_t)j + 1].first;
             if (gap_s != gap_e) {
-                bool strong = false;
-                for (int64_t g = gap_s; g < gap_e; g++) {
-                    Py_UCS4 gc = st[(size_t)g];
-                    if (gc == '\n' || gc == '\r') { strong = true; break; }
-                }
-                if (strong) break;
+                // strong delimiter = newline as the FIRST delimiter char
+                // after the word (figa_cedar.tpp:1005-1012); later gap
+                // chars load as empty words and never break the chain
+                Py_UCS4 gc = st[(size_t)gap_s];
+                if (gc == '\n' || gc == '\r') break;
                 path.push_back(' ');
             }
             j++;

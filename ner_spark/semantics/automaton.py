@@ -12,8 +12,10 @@ CEDAR tries).  Reproduces the observable semantics of the reference's
     (figa_cedar.tpp:955-1000);
   - URI rule: a word starting "http:"/"https:" swallows punctuation until
     whitespace (figa_cedar.tpp:972-976);
-  - strong delimiters '\\n'/'\\r' (and EOF) terminate any match path
-    (figa_cedar.cpp:76-81, figa_cedar.tpp:1007-1013);
+  - strong delimiters '\\n'/'\\r' (and EOF) terminate any match path, but
+    only as the FIRST delimiter char after a word — a newline preceded by
+    other whitespace is consumed as an empty word and is invisible to the
+    chain (figa_cedar.cpp:76-81, figa_cedar.tpp:985-1013);
   - matches start at word starts and end at word ends; the LONGEST match
     wins (backtrack to the last word with a trie value,
     figa_cedar.tpp:555-616); matched words are consumed, so emitted matches
@@ -81,8 +83,11 @@ def tokenize(text: str) -> list[Word]:
     The separator between adjacent words is "" when they touch, " " when
     only space-like chars lie between (runs collapse: the reference consumes
     one delimiter per break and skips empty words, figa_cedar.tpp:986-1003),
-    and None when the gap contains a strong delimiter '\\n'/'\\r'.  The
-    final word gets None (EOF acts as '\\n', figa_cedar.tpp:1007).
+    and None when the FIRST gap char is a strong delimiter '\\n'/'\\r'
+    (only the delimiter char consumed right after the word is classified,
+    figa_cedar.tpp:985-1012 — a newline later in the gap loads as an empty
+    word and is skipped).  The final word gets None (EOF acts as '\\n',
+    figa_cedar.tpp:1007).
     """
     spans = [(m.group(), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
     words: list[Word] = []
@@ -95,8 +100,11 @@ def tokenize(text: str) -> list[Word]:
             if nxt == e:
                 sep = ""
             else:
-                gap = text[e:nxt]
-                sep = None if ("\n" in gap or "\r" in gap) else " "
+                # only the FIRST delimiter char after a word is classified
+                # (figa_cedar.tpp:985-1012 consumes one delimiter and breaks;
+                # later gap chars — even newlines — load as empty words and
+                # are skipped without touching the match chain)
+                sep = None if text[e] in "\n\r" else " "
         words.append(Word(w, s, e, sep))
     return words
 
@@ -115,6 +123,13 @@ class GazetteerAutomaton:
         self.keys: dict[str, tuple[int, ...]] = {}   # path → ids
         self.prefixes: set[str] = set()              # word-boundary prefixes
         self.first: set[str] = set()                 # key-initial words
+
+    def __getstate__(self):
+        # the C kernel caches a compiled pack as a PyCapsule under _ck_*
+        # (semantics/ckernel.py) — per-process state, rebuilt lazily after
+        # unpickle; it must never ride a pickle (broadcast or artifact)
+        return {k: v for k, v in self.__dict__.items()
+                if not k.startswith("_ck_")}
 
     @property
     def n_keys(self) -> int:
@@ -199,9 +214,12 @@ class GazetteerAutomaton:
                 if gap_s == gap_e:
                     sep = ""
                 else:
-                    gap = text[gap_s:gap_e]
-                    if "\n" in gap or "\r" in gap:
-                        break  # strong delimiter terminates the path
+                    if text[gap_s] in "\n\r":
+                        # strong delimiter = newline as the FIRST delimiter
+                        # char after the word (figa_cedar.tpp:1005-1012);
+                        # a newline deeper in the gap is consumed as an
+                        # empty word and does not break the path
+                        break
                     sep = " "
                 j += 1
                 path = path + sep + texts[j]

@@ -203,6 +203,13 @@ class KBBundle:
     _score_np: object = field(default=None, repr=False)
     _ctx_kind_np: object = field(default=None, repr=False)
 
+    def __getstate__(self):
+        # C-kernel pack capsules (_ck_*, semantics/ckernel.py) are
+        # per-process and rebuilt lazily — never pickled (broadcast or
+        # KB artifact)
+        return {k: v for k, v in self.__dict__.items()
+                if not k.startswith("_ck_")}
+
     # -- reference accessor surface ------------------------------------
     def n_rows(self) -> int:
         return len(self.cols["name"]) - 1

@@ -142,3 +142,27 @@ def test_byte_offset_matches_multibyte():
     assert [(m.start, m.end) for m in bs] == [(0, 7), (12, 20), (24, 31)]
     assert [m.fragment for m in bs] == [m.fragment for m in ms]
     assert [m.ids for m in bs] == [m.ids for m in ms]
+
+
+def test_newline_strong_only_as_first_delimiter_char():
+    """Strong-delimiter scope (soak-found divergence, fixed r5): figa
+    classifies only the delimiter char consumed immediately after a word
+    (figa_cedar.tpp:985-1012) — a '\\n' that is the FIRST gap char breaks
+    the match chain, but a '\\n' preceded by other whitespace loads as an
+    empty word and is invisible, so the chain continues."""
+    from ner_spark.semantics.automaton import GazetteerAutomaton, tokenize
+
+    atm = GazetteerAutomaton.build(
+        [("New York", (1,)), ("New", (2,))])
+    # newline directly after the word: strong → shorter key wins
+    assert [(m.ids, m.fragment) for m in atm.scan("New\nYork")] == \
+        [((2,), "New")]
+    assert [(m.ids, m.fragment) for m in atm.scan("New \n York")] == \
+        [((1,), "New \n York")]
+    assert [(m.ids, m.fragment) for m in atm.scan("New\t\nYork")] == \
+        [((1,), "New\t\nYork")]
+    assert [(m.ids, m.fragment) for m in atm.scan("New \r\n York")] == \
+        [((1,), "New \r\n York")]
+    # tokenize exposes the same rule through Word.sep
+    seps = [w.sep for w in tokenize("a \n b\nc")]
+    assert seps == [" ", None, None]

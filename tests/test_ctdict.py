@@ -224,7 +224,13 @@ def test_fuzz_scan_vs_reference_figa(figa_bin, tmp_path):
              "Ltd.", "Čapek", "ünited", "ООН", "東京", "a1", "42nd"]
     fillers = ["saw", "the", "and", "on", "in", "of", "it", "was", ",",
                ".", ";", "(", ")", "-", "http://ex.com/a.b", "https:",
-               "1997", "–"]
+               "1997", "–",
+               # bare-delimiter pieces: joined with " " they produce
+               # " \t ", "   ", and " \n " gap runs — the separator class
+               # where the strong-newline scope bug hid (found by the r5
+               # soak: a \n preceded by other whitespace must NOT break
+               # the match chain, figa_cedar.tpp:985-1012)
+               "\t", "  ", "\n"]
     for trial in range(12):
         # random namelist: 1-3-word keys, random ids incl. the N marker
         keys = {}
