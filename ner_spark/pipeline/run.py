@@ -42,6 +42,7 @@ def extract_mentions_resumable(
     url_col: str = "url",
     text_col: str = "text",
     fail_after_buckets: int | None = None,
+    waves: int = 1,
     **extract_kw,
 ) -> DataFrame:
     """Checkpoint-resumable mention extraction: pages are bucketed by
@@ -49,7 +50,17 @@ def extract_mentions_resumable(
     (per the lineage sidecar) are filtered OUT of the scan, so a resumed run
     re-reads only unprocessed pages — compute-level resume, not just
     write-level (SCALE.md "Resume story").  Returns the full mentions table
-    read back from ``path``."""
+    read back from ``path``.
+
+    ``waves`` (>1) splits the todo buckets into that many groups processed
+    and committed sequentially — INCREMENTAL checkpointing within a run: a
+    driver/cluster loss mid-run preserves every completed wave, and the
+    resumed run re-extracts only the rest.  The cost is one extra
+    column-pruned pages scan per wave (the bucket predicate is computed
+    from the url, so it cannot prune the scan); extraction dominates the
+    scan by >10×, so single-digit wave counts bound the loss window to
+    1/waves of the phase for a few percent of extra scan — the knob a
+    multi-day 100 TB run sets to taste."""
     from collections import namedtuple
 
     LRow = namedtuple("LRow", "bucket n_rows fingerprint")
@@ -71,26 +82,39 @@ def extract_mentions_resumable(
         # empty corpus, nothing ever written: empty mentions table
         from ner_spark.pipeline.ner import MENTION_SCHEMA
         return spark.createDataFrame([], MENTION_SCHEMA)
-    mentions = extract_mentions(todo_pages, artifacts, url_col=url_col,
-                                text_col=text_col, **extract_kw)
-    bdf = with_bucket(mentions, "url", n_buckets).persist()
-    try:
-        have = {r.bucket: r for r in _lineage_of(bdf).collect()}
-        lineage = [have.get(b, LRow(b, 0, 0)) for b in todo_buckets]
-        if fail_after_buckets is not None and fail_after_buckets < len(todo_buckets):
-            keep = set(todo_buckets[:fail_after_buckets])
-            part = bdf.filter(F.col("bucket").isin(list(keep)))
+    n_waves = max(1, min(int(waves), len(todo_buckets)))
+    wave_size = -(-len(todo_buckets) // n_waves)  # ceil
+    done_so_far = 0
+    for w in range(n_waves):
+        wave_buckets = todo_buckets[w * wave_size:(w + 1) * wave_size]
+        if not wave_buckets:
+            break
+        wave_pages = todo_pages if n_waves == 1 else todo_pages.filter(
+            F.col("_bucket").isin(list(wave_buckets)))
+        mentions = extract_mentions(wave_pages, artifacts, url_col=url_col,
+                                    text_col=text_col, **extract_kw)
+        bdf = with_bucket(mentions, "url", n_buckets).persist()
+        try:
+            have = {r.bucket: r for r in _lineage_of(bdf).collect()}
+            lineage = [have.get(b, LRow(b, 0, 0)) for b in wave_buckets]
+            fail_now = (fail_after_buckets is not None
+                        and fail_after_buckets - done_so_far < len(wave_buckets))
+            if fail_now:
+                keep = set(wave_buckets[:fail_after_buckets - done_so_far])
+                part = bdf.filter(F.col("bucket").isin(list(keep)))
+                with dynamic_partition_overwrite(spark):
+                    part.write.mode("overwrite") \
+                        .partitionBy("bucket").parquet(path)
+                _append_lineage(spark, path,
+                                [r for r in lineage if r.bucket in keep])
+                raise RuntimeError(
+                    f"injected failure after {fail_after_buckets} buckets")
             with dynamic_partition_overwrite(spark):
-                part.write.mode("overwrite").partitionBy("bucket").parquet(path)
-            _append_lineage(spark, path,
-                            [r for r in lineage if r.bucket in keep])
-            raise RuntimeError(
-                f"injected failure after {fail_after_buckets} buckets")
-        with dynamic_partition_overwrite(spark):
-            bdf.write.mode("overwrite").partitionBy("bucket").parquet(path)
-        _append_lineage(spark, path, lineage)
-    finally:
-        bdf.unpersist()
+                bdf.write.mode("overwrite").partitionBy("bucket").parquet(path)
+            _append_lineage(spark, path, lineage)
+            done_so_far += len(wave_buckets)
+        finally:
+            bdf.unpersist()
     return spark.read.parquet(path).drop("bucket")
 
 

@@ -121,3 +121,41 @@ def test_partition_overwrite_mode_restored(spark, tmp_path):
     resumable_write(df, str(tmp_path / "t"), key="subj", n_buckets=4)
     assert spark.conf.get(key) == "static"
     spark.conf.unset(key)
+
+
+def test_resumable_mentions_waves(spark, artifacts, pages_rows, tmp_path):
+    """Wave-based incremental checkpointing (r5): waves>1 must produce the
+    identical mentions table, commit lineage per wave (a kill mid-run
+    preserves completed waves), and resume across the wave structure."""
+    import pytest as _pytest
+
+    from ner_spark.io.catalog import read_lineage
+    from ner_spark.pipeline.run import extract_mentions_resumable
+
+    pages = spark.createDataFrame(
+        [(p["url"], p["text"]) for p in pages_rows[:30]]
+        + [("u-empty-1", "zzz qqq ."), ("u-empty-2", "nothing here .")],
+        "url string, text string")
+
+    # waves=4 ≡ waves=1, row for row
+    w1 = extract_mentions_resumable(spark, pages, artifacts,
+                                    str(tmp_path / "w1"), n_buckets=8)
+    w4 = extract_mentions_resumable(spark, pages, artifacts,
+                                    str(tmp_path / "w4"), n_buckets=8,
+                                    waves=4)
+    assert sorted(map(tuple, w4.collect())) == sorted(map(tuple, w1.collect()))
+
+    # kill inside wave 3 (8 buckets / 4 waves = 2 per wave; fail after 5
+    # buckets = waves 1-2 committed + 1 bucket of wave 3)
+    path = str(tmp_path / "killed")
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        extract_mentions_resumable(spark, pages, artifacts, path,
+                                   n_buckets=8, waves=4,
+                                   fail_after_buckets=5)
+    assert len({r.bucket for r in read_lineage(spark, path).collect()}) == 5
+
+    # resume (different wave count on purpose) converges to the same table
+    got = extract_mentions_resumable(spark, pages, artifacts, path,
+                                     n_buckets=8, waves=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, w1.collect()))
+    assert len({r.bucket for r in read_lineage(spark, path).collect()}) == 8

@@ -42,6 +42,11 @@ def main() -> None:
                          "create_cedar.sh:369)")
     ap.add_argument("--materialize-mentions", action="store_true",
                     help="checkpoint mentions (compute-level resume)")
+    ap.add_argument("--resume-waves", type=int, default=1, metavar="N",
+                    help="split mention extraction into N sequentially "
+                         "committed waves (incremental checkpointing: a "
+                         "mid-run loss preserves completed waves; costs "
+                         "one extra column-pruned pages scan per wave)")
     ap.add_argument("--kb-artifact", default=None, metavar="DIR",
                     help="prebuilt-KB artifact dir (the production form: "
                          "the reference ships a compiled .dct and never "
@@ -98,7 +103,7 @@ def main() -> None:
         from ner_spark.pipeline.run import extract_mentions_resumable
         mentions = extract_mentions_resumable(
             spark, pages, art, os.path.join(args.out, "mentions"),
-            n_buckets=args.buckets, **kw)
+            n_buckets=args.buckets, waves=args.resume_waves, **kw)
     else:
         mentions = extract_mentions(pages, art, **kw).persist()
     triples = build_triples(mentions, art.kb_df)
