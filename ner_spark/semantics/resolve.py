@@ -1362,6 +1362,50 @@ def adjust_coreferences(entities_and_dates: list, new_names: list[Mention],
 
 _ckernel = None  # lazily-imported ckernel module (circular-import guard)
 
+def stage_diff_tracer(out=None, fmt=None):
+    """Build a ``trace`` callback for :func:`resolve_document` that emits a
+    unified diff of the (start-sorted) mention list after every stage that
+    changed it — the intent-port of the reference's
+    ``debugChangesInEntities`` (ner.py:598-608: ``difflib.unified_diff``
+    of the before/after entity strings, n=0, written to stderr via
+    libs/debug.py).  Divergence from the shipped form, documented: the
+    reference keys its snapshot in a module global and renders via
+    ``Entity.__str__``; this tracer is a closure (re-entrant across docs)
+    and renders a stable ``start end kind source sense`` line per mention.
+
+    Returns ``(trace, log)``: ``trace`` for resolve_document, ``log`` a
+    list of ``(stage, diff_text)`` also written to ``out`` (default
+    stderr)."""
+    import difflib
+    import sys as _sys
+
+    if fmt is None:
+        def fmt(e):
+            if type(e) is DateMatch:
+                return (f"{e.start} {e.end} date {e.source!r} "
+                        f"{e.iso.iso() if e.iso else None}")
+            kind = ("coref" if e.is_coreference
+                    else "name" if getattr(e, "is_name", False) else "kb")
+            return (f"{e.start} {e.end} {kind} {e.source!r} "
+                    f"{e.get_preferred_sense()}")
+    stream = out if out is not None else _sys.stderr
+    last: list[str] = []
+    log: list[tuple[str, str]] = []
+
+    def trace(stage: str, entities) -> None:
+        nonlocal last
+        now = [fmt(e) + "\n"
+               for e in sorted(entities, key=lambda x: x.start)]
+        diff = "".join(difflib.unified_diff(
+            last, now, fromfile="before", tofile="after", n=0))
+        if diff:
+            log.append((stage, diff))
+            stream.write(f"{stage}:\n'''\n{diff}'''\n")
+        last = now
+
+    return trace, log
+
+
 def resolve_document(
     text: str,
     matches: Sequence[tuple[Sequence[int], int, int, str]],
@@ -1373,6 +1417,7 @@ def resolve_document(
     split_interval: bool = True,
     as_tuples: bool = False,
     names_strict: bool = False,
+    trace=None,
 ) -> list:
     """Run stages b-k on one (sanitized) document.
 
@@ -1388,6 +1433,14 @@ def resolve_document(
     only ``mode='default'`` supports it (score/-a carry extra cand
     fields).  Field-for-field equality with the dict form is pinned in
     tests/test_resolve.py.
+
+    ``trace``: optional ``trace(stage_name, entities)`` callback invoked
+    after each resolution stage with the live mention list — the
+    intent-port of the reference's ``debugChangesInEntities`` stage-diff
+    instrumentation (ner.py:598-608, libs/debug.py); pair with
+    :func:`stage_diff_tracer` for the reference's unified-diff-to-stderr
+    rendering.  Tracing forces the pure-Python path (the C kernel has no
+    stage hooks) and is for debugging only.
     """
     if as_tuples and mode != "default":
         raise ValueError("as_tuples supports mode='default' only")
@@ -1397,11 +1450,12 @@ def resolve_document(
     if _ckernel is None:
         from . import ckernel as _ckernel_mod
         _ckernel = _ckernel_mod
-    rows = _ckernel.try_resolve_document(
-        text, matches, kb, list_titles, find_names, mode, lang,
-        split_interval, as_tuples)
-    if rows is not None:
-        return rows
+    if trace is None:
+        rows = _ckernel.try_resolve_document(
+            text, matches, kb, list_titles, find_names, mode, lang,
+            split_interval, as_tuples)
+        if rows is not None:
+            return rows
     register = Register()
     global_senses: set[int] = set()
     figa_entities: list[Mention] = []
@@ -1421,7 +1475,11 @@ def resolve_document(
         if e.partial_match_senses:
             e.partial_match_senses = e.partial_match_senses & global_senses
 
+    if trace:
+        trace("figa_entities", figa_entities)
     figa_entities = remove_shorter_entities(figa_entities)
+    if trace:
+        trace("remove_shorter_entities", figa_entities)
 
     nationalities: list[Mention] = []
     entities: list[Mention] = []
@@ -1457,11 +1515,17 @@ def resolve_document(
     sidx = _doc_sentence_index(text, lang.verbs) if entities else None
     for e in entities:
         disambiguate_without_context(e, kb, text, register, lang, sidx)
+    if trace:
+        trace("disambiguate_without_context", entities)
 
     paragraphs = offsets_of_paragraphs(text)
     ctx = Context(entities_and_dates, kb, paragraphs, nationalities, text)
     disambiguate_all_with_context(entities, kb, ctx, register)
+    if trace:
+        trace("disambiguate_with_context", entities)
     fix_poor_disambiguation(entities, kb, register)
+    if trace:
+        trace("fix_poor_disambiguation", entities)
     ctx = Context(entities_and_dates, kb, paragraphs, nationalities, text)
 
     name_corefs = [e for e in entities
@@ -1472,19 +1536,27 @@ def resolve_document(
                          print_all=print_all, sidx=sidx)
     resolve_coreferences(entities, kb, ctx, register, text, lang,
                          print_all=print_all, sidx=sidx)
+    if trace:
+        trace("resolve_coreferences", entities)
 
     entities = resolve_overlapping_proper_nouns(entities, text, list_titles,
                                                 lang)
+    if trace:
+        trace("resolve_overlapping_proper_nouns", entities)
     kept = set(map(id, remove_nearby_entities(entities, kb, text, lang)))
     entities_and_dates = [
         e for e in entities_and_dates
         if isinstance(e, DateMatch) or id(e) in kept]
+    if trace:
+        trace("remove_nearby_entities", entities_and_dates)
 
     if find_names:  # -n mode (ner.py:696-697)
         new_names = add_unknown_names(entities_and_dates, text,
                                        list_titles, kb,
                                        strict=names_strict)
         adjust_coreferences(entities_and_dates, new_names, kb, register, lang)
+        if trace:
+            trace("add_unknown_names", entities_and_dates)
 
     # final sense filter (ner.py:700-709): default keeps resolved mentions;
     # 'all' (-a) nulls the preferred sense and keeps everything with
@@ -1503,6 +1575,8 @@ def resolve_document(
             if isinstance(e, DateMatch)
             or (e.is_coreference and e.partial_match_senses)
             or (not e.is_coreference and e.senses) or e.is_name]
+    if trace:
+        trace("final_sense_filter", entities_and_dates)
 
     out = []
     if as_tuples:  # hot path (mode == 'default' guaranteed above)

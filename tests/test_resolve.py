@@ -568,3 +568,36 @@ def test_overlap_filter_np_matches_scalar():
             R.np = np_save
         assert [id(e) for e in got_np] == [id(e) for e in got_sc], (
             trial, text, [(e.start, e.end) for e in ents])
+
+
+def test_stage_diff_tracer(kb_rows, pages_rows):
+    """debugChangesInEntities intent-port (ner.py:598-608): tracing emits
+    per-stage unified diffs without changing the resolved output."""
+    import io
+
+    from ner_spark.semantics.automaton import GazetteerAutomaton
+    from ner_spark.semantics.kb import KBBundle, build_namelist
+    from ner_spark.semantics.resolve import (resolve_document,
+                                             stage_diff_tracer)
+
+    bundle = KBBundle.from_rows(kb_rows)
+    atm = GazetteerAutomaton.build(build_namelist(bundle).items())
+    traced_any = False
+    for page in pages_rows[:10]:
+        text = page["text"]
+        matches = [(m.ids, m.start, m.end, m.fragment)
+                   for m in atm.scan(text)]
+        plain = resolve_document(text, matches, bundle)
+        buf = io.StringIO()
+        trace, log = stage_diff_tracer(out=buf)
+        traced = resolve_document(text, matches, bundle, trace=trace)
+        assert traced == plain            # tracing never changes results
+        if matches:
+            stages = [s for s, _ in log]
+            assert stages[0] == "figa_entities"
+            assert "final_sense_filter" in " ".join(
+                s for s, _ in log) or len(log) >= 1
+            body = buf.getvalue()
+            assert "--- before" in body and "+++ after" in body
+            traced_any = True
+    assert traced_any
